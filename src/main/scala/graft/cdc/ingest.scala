@@ -1,0 +1,153 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+import graft.cdc.lake._
+
+/** The replay side of the engine: per-key max-LSN dedup, skew handling, the
+  * epoch loop, checkpoint ledger, and lineage/metrics emission.
+  */
+object ingest {
+
+  object Dedup {
+    /** Per-key max-LSN dedup window (north rule; SURVEY.md §2.4 A5).
+      *
+      * Implemented as `groupBy(keys).agg(max_by(struct(*), lsn))` rather than a
+      * row_number window: a declarative aggregate gets map-side partial
+      * aggregation, so duplicate storms on a hot key are collapsed BEFORE the
+      * shuffle — this is the primary skew defense for the dedup stage and it
+      * scales with mappers, not with the hottest key's row count.
+      */
+    def latestPerKey(batch: DataFrame, keys: Seq[String], lsnCol: String = "lsn"): DataFrame = {
+      batch
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(struct(batch.columns.map(col).toIndexedSeq: _*), col(lsnCol)).as("_e"))
+        .select("_e.*")
+    }
+  }
+
+  object Salting {
+    /** Explicit salted repartition for hot-key skew (north rule): spreads each
+      * `keys`-group across `salt` sub-partitions. Use before per-key heavy ops
+      * that can't use partial aggregation. */
+    def saltedRepartition(df: DataFrame, numPartitions: Int, keys: Seq[String], salt: Int): DataFrame = {
+      val saltCol: Column = pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
+      df.repartition(numPartitions, (keys.map(col) :+ saltCol): _*)
+    }
+  }
+
+  /** Checkpointed offset/watermark ledger (north rule): tiny JSON state file
+    * advanced by atomic rename after each committed epoch; replay resumes from
+    * `lastEpoch + 1`. The lake table's own epoch fence makes a stale or lost
+    * ledger safe — re-applying a committed epoch is a no-op. */
+  final case class LedgerState(lastEpoch: Long, lsnHigh: Long)
+
+  final class CheckpointLedger(dir: String) {
+    private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+    private val path = Paths.get(dir, "ledger.json")
+    Files.createDirectories(Paths.get(dir))
+
+    def read(): LedgerState =
+      if (Files.exists(path)) Serialization.read[LedgerState](Files.readString(path))
+      else LedgerState(-1L, -1L)
+
+    def advance(s: LedgerState): Unit = {
+      val tmp = Paths.get(dir, s".ledger-${UUID.randomUUID()}.json")
+      Files.writeString(tmp, Serialization.write(s))
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  final case class EpochMetrics(
+      epoch: Long,
+      events_in: Long,
+      events_deduped: Long,
+      events_applied: Long,
+      wall_ms: Long,
+      events_per_sec: Double)
+
+  final case class EpochResult(
+      committed: Boolean,
+      snapshotVersion: Long,
+      metrics: EpochMetrics,
+      lineage: Seq[LineageEntry])
+
+  /** Epoch-driven CDC apply loop over a [[lake.LakeTable]].
+    *
+    * One `applyEpoch` = the reference's per-batch merge lifecycle
+    * (/root/reference/src/models/writer.py:42-67) made explicit:
+    * conform (schema registry) -> quality gate -> per-key max-LSN dedup ->
+    * copy-on-write merge -> epoch-fenced atomic commit -> lineage + metrics.
+    *
+    * Exactly-once: commit embeds epochId; replaying any prefix of epochs after
+    * a crash/restart is a sequence of fenced no-ops until the first
+    * not-yet-committed epoch.
+    */
+  final class ReplayEngine(
+      val table: LakeTable,
+      val registry: SchemaRegistry,
+      val gate: Option[quality.QualityGate] = None,
+      val lineageTable: Option[LakeTable] = None,
+      val metricsTable: Option[LakeTable] = None,
+      val ledger: Option[CheckpointLedger] = None) {
+
+    /** Apply one epoch of change events. `events` must carry `lsn`, `op`, and
+      * payload columns for some registry version (extra columns are dropped by
+      * conform; missing newer columns are null-filled).
+      * `knownInputCount` skips the metrics count() scan when the caller already
+      * knows the batch size (benchmark path). */
+    def applyEpoch(events: DataFrame, epochId: Long,
+        knownInputCount: Option[Long] = None): EpochResult = {
+      val t0 = System.nanoTime()
+      val snap = table.snapshot
+      if (epochId >= 0 && epochId <= snap.epochId) {
+        // replayed epoch: exactly-once fence, nothing runs
+        return EpochResult(committed = false, snap.version,
+          EpochMetrics(epochId, 0, 0, 0, 0, 0.0), Nil)
+      }
+
+      // 1. conform payload to the table's current schema version (additive
+      //    evolution: old-version events null-fill / widen into the new shape),
+      //    keeping the lsn/op event metadata alongside the payload
+      val withMeta = {
+        val have = events.columns.toSet
+        val cols = Seq(col("lsn"), col("op")) ++ snap.schema.fields.map { f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        events.select(cols: _*)
+      }
+
+      // 2. quality gate (errors abort the epoch pre-commit; the atomic commit
+      //    means an aborted epoch leaves no partial state)
+      gate.foreach(_.check(withMeta.where(col("op") =!= "D")))
+
+      // 3. per-key max-LSN dedup
+      val deduped = Dedup.latestPerKey(withMeta, snap.keyColumns)
+
+      // 4. copy-on-write merge + fenced commit
+      val res = table.merge(deduped, epochId)
+
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val applied = res.lineage.map(l => l.rows_upserted + l.rows_deleted).sum
+      val eventsIn = knownInputCount.getOrElse(if (res.committed) events.count() else 0L)
+      val m = EpochMetrics(epochId, eventsIn, applied, applied, wallMs,
+        if (wallMs > 0) eventsIn * 1000.0 / wallMs else 0.0)
+
+      if (res.committed) {
+        val spark = table.spark
+        import spark.implicits._
+        lineageTable.foreach(lt => lt.append(res.lineage.toDF(), epochId = -1L))
+        metricsTable.foreach(mt => mt.append(Seq(m).toDF(), epochId = -1L))
+        ledger.foreach(_.advance(LedgerState(epochId, res.snapshot.lsnHigh)))
+      }
+      EpochResult(res.committed, res.snapshot.version, m, res.lineage)
+    }
+  }
+}

@@ -1,0 +1,343 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** GraftLake — a from-scratch, Iceberg-style snapshot table format.
+  *
+  * The sandbox has no Delta/Iceberg jars, so the ACID substrate the reference
+  * leans on (Delta MERGE / idempotent CREATE, /root/reference/src/models/writer.py:34-67,
+  * /root/reference/src/models/table_builder.py:27-44) is reproduced minimally:
+  *
+  * Layout per table root:
+  * {{{
+  *   data/<snapshotVersion>-<uuid>/_b=<bucket>/part-*.parquet
+  *   meta/v%016d.json     immutable snapshot manifests
+  *   meta/_CURRENT        pointer to latest version (atomic rename)
+  * }}}
+  *
+  * Commit protocol: a snapshot JSON is written to a temp name then moved with
+  * ATOMIC_MOVE onto `v<N>.json` (fails if a concurrent writer got there first),
+  * then `_CURRENT` is advanced. A crash between the data write and the meta
+  * commit leaves orphan files that no snapshot references — harmless, GC-able.
+  *
+  * Exactly-once: each snapshot embeds the `epochId` that produced it; a commit
+  * whose epochId is <= the current snapshot's is rejected as a replay
+  * (idempotent epoch fence; reference analog is the idempotent `ensure`).
+  *
+  * Scale design (100 TB envelope): data is hash-bucketed on the merge key
+  * (repo, path), so a merge touches only the buckets present in the batch —
+  * rewrite amplification is (table size / numBuckets) × touched buckets, and a
+  * hot repo is spread across all buckets because the bucket hash includes
+  * `path`. Commit cost is O(files in manifest), driver-side only, no data move.
+  * Locally numBuckets=32; at 100 TB you'd configure 4096+ so a bucket is a few
+  * tens of GB and a 1000-executor cluster rewrites only what the batch touches.
+  */
+object lake {
+
+  final case class DataFile(
+      path: String, // relative to table root
+      bucket: Int,
+      rows: Long,
+      bytes: Long,
+      schemaVersion: Int,
+      lsnMin: Long,
+      lsnMax: Long)
+
+  final case class Snapshot(
+      formatVersion: Int,
+      table: String,
+      version: Long,
+      schemaVersion: Int,
+      schemas: Map[String, String], // schemaVersion (as string key for JSON) -> StructType.json
+      keyColumns: Seq[String],
+      numBuckets: Int,
+      epochId: Long,
+      lsnHigh: Long,
+      properties: Map[String, String],
+      files: Seq[DataFile]) {
+    def schema: StructType = schemaOf(schemaVersion)
+    def schemaOf(v: Int): StructType =
+      DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
+    def registry: SchemaRegistry = SchemaRegistry(schemas.map { case (k, v) =>
+      k.toInt -> DataType.fromJson(v).asInstanceOf[StructType]
+    })
+  }
+
+  /** Per-bucket lineage emitted by every committing operation (FIXTURES.md B4). */
+  final case class LineageEntry(
+      table: String,
+      snapshot_version: Long,
+      epoch: Long,
+      partition: Int,
+      lsn_min: Long,
+      lsn_max: Long,
+      rows_upserted: Long,
+      rows_deleted: Long,
+      files_added: Int,
+      files_removed: Int,
+      committed_at: java.sql.Timestamp)
+
+  final case class CommitResult(
+      committed: Boolean,
+      snapshot: Snapshot,
+      lineage: Seq[LineageEntry])
+
+  private implicit val jsonFormats: Formats = Serialization.formats(NoTypeHints)
+
+  object LakeTable {
+    /** Idempotent create (reference: src/delta_engine/execute/ddl.py:47-63). */
+    def createIfNotExists(
+        spark: SparkSession,
+        root: String,
+        name: String,
+        schema: StructType,
+        keyColumns: Seq[String],
+        numBuckets: Int = 32,
+        properties: Map[String, String] = Map.empty): LakeTable = {
+      val t = new LakeTable(spark, root, name)
+      if (t.currentVersionOpt.isEmpty) {
+        val snap0 = Snapshot(1, name, 0L, 1,
+          Map("1" -> schema.json), keyColumns, numBuckets, -1L, -1L, properties, Nil)
+        t.commit(snap0)
+      }
+      t
+    }
+
+    def load(spark: SparkSession, root: String, name: String): LakeTable = {
+      val t = new LakeTable(spark, root, name)
+      require(t.currentVersionOpt.nonEmpty, s"lake table not found at $root")
+      t
+    }
+
+    def exists(root: String): Boolean =
+      Files.exists(Paths.get(root, "meta", "_CURRENT"))
+  }
+
+  final class LakeTable(val spark: SparkSession, val root: String, val name: String) {
+    private val metaDir: Path = Paths.get(root, "meta")
+    private val dataDir: Path = Paths.get(root, "data")
+
+    // ---- snapshot / manifest IO -------------------------------------------
+
+    private def snapPath(v: Long): Path = metaDir.resolve(f"v$v%016d.json")
+
+    def currentVersionOpt: Option[Long] = {
+      val cur = metaDir.resolve("_CURRENT")
+      if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong)
+      else if (Files.isDirectory(metaDir)) {
+        // fallback: recover from manifest listing (pointer write crashed)
+        val vs = Files.list(metaDir).toArray.map(_.toString)
+          .flatMap { p =>
+            val n = Paths.get(p).getFileName.toString
+            if (n.startsWith("v") && n.endsWith(".json")) Some(n.stripPrefix("v").stripSuffix(".json").toLong)
+            else None
+          }
+        if (vs.isEmpty) None else Some(vs.max)
+      } else None
+    }
+
+    def snapshot: Snapshot = snapshotAt(currentVersionOpt.getOrElse(
+      throw new IllegalStateException(s"table $name at $root has no snapshot")))
+
+    def snapshotAt(v: Long): Snapshot =
+      Serialization.read[Snapshot](Files.readString(snapPath(v)))
+
+    /** Atomic snapshot commit with epoch fence. Returns false iff fenced. */
+    def commit(next: Snapshot): Boolean = synchronized {
+      Files.createDirectories(metaDir)
+      currentVersionOpt.foreach { cv =>
+        val cur = snapshotAt(cv)
+        if (next.epochId >= 0 && next.epochId <= cur.epochId) return false // replayed epoch: no-op
+        require(next.version == cur.version + 1,
+          s"non-monotonic commit: have v${cur.version}, got v${next.version}")
+      }
+      val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.writeString(tmp, Serialization.write(next))
+      try Files.move(tmp, snapPath(next.version), StandardCopyOption.ATOMIC_MOVE)
+      catch { case NonFatal(e) => Files.deleteIfExists(tmp); throw e }
+      val ptrTmp = metaDir.resolve(s".ptr-${UUID.randomUUID()}")
+      Files.writeString(ptrTmp, next.version.toString)
+      Files.move(ptrTmp, metaDir.resolve("_CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+
+    // ---- read path ---------------------------------------------------------
+
+    /** Bucket assignment: hash of the full merge key, so a hot repo spreads
+      * across every bucket (skew) while each key still lives in exactly one. */
+    def bucketExpr(snap: Snapshot): org.apache.spark.sql.Column =
+      pmod(xxhash64(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
+
+    /** Read the current table state. Files written under older schema versions
+      * are read with their own physical schema then conformed (cast / null-fill)
+      * to the current one — robust type widening without relying on the parquet
+      * reader's widening support. */
+    def read(): DataFrame = readBuckets(snapshot, None)
+
+    def readBuckets(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+      val reg = snap.registry
+      val wanted = buckets.map(bs => snap.files.filter(f => bs(f.bucket))).getOrElse(snap.files)
+      if (wanted.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      } else {
+        wanted.groupBy(_.schemaVersion).map { case (sv, group) =>
+          val paths = group.map(f => Paths.get(root, f.path).toString)
+          val df = spark.read.schema(snap.schemaOf(sv)).parquet(paths: _*)
+          reg.conform(df, snap.schemaVersion)
+        }.reduce(_ unionByName _)
+      }
+    }
+
+    // ---- write path --------------------------------------------------------
+
+    /** Write `df` bucket-partitioned under a fresh snapshot data dir; returns
+      * the new DataFiles. Parquet row counts come from file footers (no second
+      * scan of the data). */
+    private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
+        lsnByBucket: Map[Int, (Long, Long)]): Seq[DataFile] = {
+      val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
+      val cols = snap.schema.fieldNames.map(col)
+      df.withColumn("_b", bucketExpr(snap))
+        .select((cols :+ col("_b")).toSeq: _*)
+        .repartition(col("_b"))
+        .write.partitionBy("_b").parquet(outDir.toString)
+      listParquet(outDir).map { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
+        val (lsnMin, lsnMax) = lsnByBucket.getOrElse(bucket, (-1L, -1L))
+        DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion, lsnMin, lsnMax)
+      }
+    }
+
+    private def listParquet(dir: Path): Seq[Path] = {
+      val out = Seq.newBuilder[Path]
+      Files.walk(dir).forEach { p =>
+        if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) out += p
+      }
+      out.result()
+    }
+
+    private def parquetRowCount(p: Path): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+
+    private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+
+    /** Full overwrite (reference: src/models/writer.py:34-40). */
+    def overwrite(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
+      val cur = snapshot
+      if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh))
+      val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version, Map.empty)
+      val next = next0.copy(files = files)
+      val ok = commit(next)
+      val lin = files.groupBy(_.bucket).map { case (b, fs) =>
+        LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
+          fs.map(_.rows).sum, 0L, fs.size, cur.files.count(_.bucket == b), nowTs())
+      }.toSeq
+      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+
+    /** Append without rewriting (reference: src/models/data_quality_evaluator.py:67-68). */
+    def append(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
+      val cur = snapshot
+      if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh))
+      val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version, Map.empty)
+      val next = next0.copy(files = cur.files ++ added)
+      val ok = commit(next)
+      val lin = added.groupBy(_.bucket).map { case (b, fs) =>
+        LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
+          fs.map(_.rows).sum, 0L, fs.size, 0, nowTs())
+      }.toSeq
+      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+
+    /** Additive schema evolution: commit a metadata-only snapshot whose current
+      * schema is `next` (new nullable columns / widened types). Existing data
+      * files keep their physical schemaVersion and are conformed on read. */
+    def evolveSchema(next: StructType): Snapshot = {
+      val cur = snapshot
+      val reg = cur.registry.evolve(next)
+      val ns = cur.copy(version = cur.version + 1,
+        schemaVersion = reg.latestVersion,
+        schemas = cur.schemas + (reg.latestVersion.toString -> next.json))
+      require(commit(ns.copy(epochId = cur.epochId)), "schema evolution commit fenced unexpectedly")
+      snapshot
+    }
+
+    /** Copy-on-write MERGE keyed on the table's key columns — the CDC-apply
+      * kernel (reference contract: whenMatchedUpdateAll / whenNotMatchedInsertAll,
+      * /root/reference/src/models/writer.py:42-67, plus a delete extension).
+      *
+      * `batch` must carry columns: lsn:long, op:string(I|U|D) + the current
+      * schema's columns, ALREADY deduped to one event per key (use
+      * [[graft.cdc.ingest.Dedup.latestPerKey]]). Only buckets present in the
+      * batch are read and rewritten; untouched buckets carry over by manifest
+      * reference (zero data movement).
+      */
+    def merge(batch: DataFrame, epochId: Long): CommitResult = {
+      val cur = snapshot
+      if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      val keys = cur.keyColumns
+      val payload = cur.schema.fieldNames.toSeq
+
+      // Per-bucket batch stats: one small aggregate over the (deduped) batch —
+      // feeds lineage + the touched-bucket set, never scans the target.
+      val statsRows = batch
+        .groupBy(bucketExpr(cur).as("_b"))
+        .agg(min("lsn").as("lmin"), max("lsn").as("lmax"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
+          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("ups"))
+        .collect()
+      if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
+      val touched: Set[Int] = statsRows.map(_.getAs[Int]("_b")).toSet
+      val lsnByBucket = statsRows.map(r =>
+        r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
+      val lsnHigh = lsnByBucket.values.map(_._2).max
+
+      val target = readBuckets(cur, Some(touched)).alias("t")
+      val source = batch.alias("s")
+      val joined = target.join(source, keys, "full_outer")
+      val merged = joined
+        .filter(!(col("s.op") <=> lit("D"))) // delete: drop the key
+        .select(keys.map(col) ++ payload.filterNot(keys.contains).map { c =>
+          when(col("s.op").isNull, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
+        }: _*)
+
+      val nextVersion = cur.version + 1
+      val newFiles = writeBucketed(merged, cur, nextVersion, lsnByBucket)
+      val carried = cur.files.filterNot(f => touched(f.bucket))
+      val next = cur.copy(version = nextVersion, epochId = epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles)
+      val ok = commit(next)
+      val removedByBucket = cur.files.filter(f => touched(f.bucket)).groupBy(_.bucket)
+      val lin = statsRows.map { r =>
+        val b = r.getAs[Int]("_b")
+        val added = newFiles.filter(_.bucket == b)
+        LineageEntry(name, nextVersion, epochId, b,
+          r.getAs[Long]("lmin"), r.getAs[Long]("lmax"),
+          r.getAs[Long]("ups"), r.getAs[Long]("dels"),
+          added.size, removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
+      }.toSeq
+      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+import graft.cdc.lake._
+import graft.cdc.ingest._
+import graft.cdc.model._
+
+/** Golden-state replay: the end-to-end correctness gate of the north rule.
+  * Deterministic seeded change stream -> multi-epoch replay -> row-by-row
+  * sha256(content) equality vs an independent driver-side oracle; plus
+  * exactly-once (epoch fence) and resume-from-checkpoint equivalence. */
+class CdcReplaySpec extends SparkSuite {
+
+  private def replay(root: String, cfg: gen.GenConfig, epochs: Int,
+      fromEpoch: Int = 0, ledgerDir: Option[String] = None): LakeTable = {
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      ledger = ledgerDir.map(new CheckpointLedger(_)))
+    val all = gen.changeEvents(spark, cfg)
+    val perEpoch = cfg.n / epochs
+    (fromEpoch until epochs).foreach { e =>
+      val lo = e * perEpoch
+      val hi = if (e == epochs - 1) cfg.n else (e + 1) * perEpoch
+      engine.applyEpoch(all.filter(col("lsn") >= lo && col("lsn") < hi), e)
+    }
+    table
+  }
+
+  private def assertGolden(table: LakeTable, cfg: gen.GenConfig): Unit = {
+    val got = table.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"),
+        col("commit"), col("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val expected = gen.oracleFinalState(cfg)
+    assert(got.size == expected.size,
+      s"row count: got ${got.size}, expected ${expected.size}")
+    expected.foreach { case (k, e) =>
+      val g = got.getOrElse(k, fail(s"missing key $k"))
+      assert(g._1 == gen.sha256Hex(e.content), s"content sha mismatch for $k")
+      assert(g._2 == e.commit && g._3 == e.lang, s"payload mismatch for $k")
+    }
+  }
+
+  test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
+    val cfg = gen.GenConfig(n = 20000, nKeys = 3000, numPartitions = 8)
+    val table = replay(tmpDir("lake"), cfg, epochs = 5)
+    assertGolden(table, cfg)
+    // lineage sanity: snapshot per committed epoch, monotone lsnHigh
+    assert(table.snapshot.epochId == 4)
+    assert(table.snapshot.lsnHigh == cfg.n - 1)
+  }
+
+  test("exactly-once: re-applying a committed epoch is a fenced no-op") {
+    val cfg = gen.GenConfig(n = 5000, nKeys = 800, numPartitions = 4)
+    val root = tmpDir("lake")
+    val table = replay(root, cfg, epochs = 4)
+    val vBefore = table.snapshot.version
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val all = gen.changeEvents(spark, cfg)
+    // replay epochs 0..3 again, in order and out of order
+    Seq(2, 0, 3, 1).foreach { e =>
+      val r = engine.applyEpoch(all.filter(col("lsn") < 1250 * (e + 1) && col("lsn") >= 1250 * e), e)
+      assert(!r.committed, s"epoch $e must be fenced")
+    }
+    assert(table.snapshot.version == vBefore)
+    assertGolden(table, cfg)
+  }
+
+  test("resume from checkpoint: restart mid-stream reconverges to the same state") {
+    val cfg = gen.GenConfig(n = 12000, nKeys = 2000, numPartitions = 8)
+    val root = tmpDir("lake")
+    val ledgerDir = tmpDir("ledger")
+    // first run: only epochs 0..2 of 6 (simulated crash)
+    val t1 = LakeTable.createIfNotExists(spark, root, "repo_files",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    val ledger = new CheckpointLedger(ledgerDir)
+    val engine1 = new ReplayEngine(t1, SchemaRegistry.single(RepoRow.schemaV1), ledger = Some(ledger))
+    val all = gen.changeEvents(spark, cfg)
+    (0 until 3).foreach { e =>
+      engine1.applyEpoch(all.filter(col("lsn") >= e * 2000 && col("lsn") < (e + 1) * 2000), e)
+    }
+    assert(ledger.read().lastEpoch == 2)
+    // "restart": new table handle + engine, resume from ledger, replay an
+    // overlapping range (epochs 1..5) — fence makes the overlap harmless
+    val t2 = LakeTable.load(spark, root, "repo_files")
+    val engine2 = new ReplayEngine(t2, SchemaRegistry.single(RepoRow.schemaV1), ledger = Some(ledger))
+    (1 until 6).foreach { e =>
+      engine2.applyEpoch(all.filter(col("lsn") >= e * 2000 && col("lsn") < (e + 1) * 2000), e)
+    }
+    assertGolden(t2, cfg)
+    assert(ledger.read().lastEpoch == 5)
+  }
+
+  test("replay is chunking-insensitive: 2 epochs vs 7 epochs yield identical state") {
+    val cfg = gen.GenConfig(n = 7000, nKeys = 1200, numPartitions = 4)
+    val a = replay(tmpDir("lakeA"), cfg, epochs = 2)
+    val b = replay(tmpDir("lakeB"), cfg, epochs = 7)
+    val ha = a.read().agg(sum(crc32(concat_ws("|", col("repo"), col("path"),
+      sha2(col("content"), 256), col("commit"))))).collect()(0).getLong(0)
+    val hb = b.read().agg(sum(crc32(concat_ws("|", col("repo"), col("path"),
+      sha2(col("content"), 256), col("commit"))))).collect()(0).getLong(0)
+    assert(a.read().count() == b.read().count())
+    assert(ha == hb)
+  }
+
+  test("deletes drop keys; duplicate-PK check on final state is clean") {
+    val cfg = gen.GenConfig(n = 8000, nKeys = 1500, deletePct = 30, numPartitions = 4)
+    val table = replay(tmpDir("lake"), cfg, epochs = 3)
+    assertGolden(table, cfg)
+    val dups = table.read().groupBy("repo", "path").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+}
