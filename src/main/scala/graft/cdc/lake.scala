@@ -151,12 +151,14 @@ object lake {
     def snapshotAt(v: Long): Snapshot =
       Serialization.read[Snapshot](Files.readString(snapPath(v)))
 
-    /** Atomic snapshot commit with epoch fence. Returns false iff fenced. */
-    def commit(next: Snapshot): Boolean = synchronized {
+    /** Atomic snapshot commit with epoch fence. Returns false iff fenced.
+      * Metadata-only commits (schema evolution) pass `fence = false`: they
+      * carry the current epochId forward rather than advancing it. */
+    def commit(next: Snapshot, fence: Boolean = true): Boolean = synchronized {
       Files.createDirectories(metaDir)
       currentVersionOpt.foreach { cv =>
         val cur = snapshotAt(cv)
-        if (next.epochId >= 0 && next.epochId <= cur.epochId) return false // replayed epoch: no-op
+        if (fence && next.epochId >= 0 && next.epochId <= cur.epochId) return false // replayed epoch: no-op
         require(next.version == cur.version + 1,
           s"non-monotonic commit: have v${cur.version}, got v${next.version}")
       }
@@ -279,7 +281,8 @@ object lake {
       val ns = cur.copy(version = cur.version + 1,
         schemaVersion = reg.latestVersion,
         schemas = cur.schemas + (reg.latestVersion.toString -> next.json))
-      require(commit(ns.copy(epochId = cur.epochId)), "schema evolution commit fenced unexpectedly")
+      require(commit(ns.copy(epochId = cur.epochId), fence = false),
+        "schema evolution commit failed")
       snapshot
     }
 
