@@ -1,13 +1,230 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers SURVEY.md §2's operator inventory (scans, projections,
+  * filters, joins incl. merge-as-legs, aggregations, windows, set ops, scalar
+  * functions, explode) plus the training-data-pipeline operators (dedup
+  * family, similarity search, text analysis, multimodal plumbing) and the CDC
+  * engine itself replayed end-to-end (q30/q31). `oracleSql` carries the
+  * DuckDB-equivalent SQL for every SQL-expressible query; hash-based ops
+  * (minhash/simhash/LSH-ANN) are rows-only checked.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full CDC replay through the lake engine into a temp table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    cdcq.replay(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational operator inventory (SURVEY §2)
+    "q01_pricing_summary" -> (relational.pricingSummary _),
+    "q02_silver_conform" -> (relational.silverConform _),
+    "q03_rlike_filter" -> (relational.rlikeFilter _),
+    "q04_star_join" -> (relational.starJoin _),
+    "q05_dims_broadcast" -> (relational.dimsBroadcast _),
+    "q06_semi_join" -> (relational.semiJoin _),
+    "q07_anti_join" -> (relational.antiJoin _),
+    "q08_full_outer_merge" -> (relational.fullOuterMerge _),
+    "q09_global_agg" -> (relational.globalAgg _),
+    "q10_ready_by_hour" -> (relational.readyByHour _),
+    "q11_dup_keys" -> (relational.dupKeys _),
+    "q12_latest_per_key" -> (relational.latestPerKey _),
+    "q13_topk" -> (relational.topK _),
+    "q14_scalar_funcs" -> (relational.scalarFuncs _),
+    "q15_explode_tokens" -> (relational.explodeTokens _),
+    "q16_set_intersect" -> (relational.setIntersect _),
+    "q17_set_except" -> (relational.setExcept _),
+    "q18_window_analytics" -> (relational.windowAnalytics _),
+    // text analysis
+    "q20_token_stats" -> (text.tokenStats _),
+    "q21_quality_score" -> (text.qualityScore _),
+    "q22_lang_id" -> (text.langId _),
+    "q23_fingerprint" -> (text.fingerprint _),
+    // deduplication
+    "q24_dedup_exact" -> (dedup.exact _),
+    "q25_ngram_jaccard" -> ((s, d) => dedup.ngramJaccard(s, d, 0.8)),
+    "q26_minhash_lsh" -> ((s, d) => dedup.minhashLsh(s, d)),
+    "q27_simhash" -> ((s, d) => dedup.simhash(s, d)),
+    // similarity search
+    "q28_cosine_pairs" -> ((s, d) => similarity.cosinePairs(s, d, maxQueryId = 10, threshold = 0.3)),
+    "q29_ann_topk" -> ((s, d) => similarity.bruteForceTopK(s, d)),
+    "q29b_ann_lsh" -> ((s, d) => similarity.annLsh(s, d)),
+    // multimodal plumbing
+    "q33_media_meta" -> (multimodal.mediaMeta _),
+    // the CDC engine end-to-end
+    "q30_cdc_replay" -> (cdcq.replay _),
+    "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_silver_conform" ->
+      """SELECT CAST(p_partkey AS INTEGER) AS part_id, upper(p_brand) AS brand,
+         p_type AS part_type, CAST(p_size AS BIGINT) AS size,
+         round(p_retailprice,2) AS price FROM part ORDER BY part_id""",
+    "q03_rlike_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE regexp_matches(text, '\bmerge\b') AND regexp_matches(lang, '^(en|fr)$')
+         ORDER BY doc_id""",
+    "q04_star_join" ->
+      """SELECT c_mktsegment, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q05_dims_broadcast" ->
+      """SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal),2) AS total_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q06_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         ORDER BY o_orderkey""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'error')
+         ORDER BY c_custkey""",
+    "q08_full_outer_merge" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, value FROM events WHERE event_id % 2 = 0
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+            s AS (SELECT user_id, event_id, event_type, value FROM events WHERE event_id % 2 = 1
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT coalesce(t.user_id, s.user_id) AS user_id,
+                CASE WHEN s.event_id IS NULL THEN t.event_id ELSE s.event_id END AS last_event_id,
+                CASE WHEN s.event_id IS NULL THEN t.value ELSE s.value END AS value
+         FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+         WHERE NOT (s.event_type IS NOT NULL AND s.event_type = 'error')
+         ORDER BY user_id""",
+    "q09_global_agg" ->
+      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+         count(*) AS n_events, round(sum(value),2) AS total_value,
+         round(avg(value),4) AS avg_value FROM events""",
+    "q10_ready_by_hour" ->
+      """SELECT event_type, max(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS any_before_noon,
+         count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "q11_dup_keys" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q12_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+         ORDER BY user_id""",
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14_scalar_funcs" ->
+      """SELECT doc_id, sha256(text) AS text_sha, length(text) AS len,
+         upper(lang) AS lang_u, substr(sha256(text),1,8) AS fp8
+         FROM documents ORDER BY doc_id""",
+    "q15_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+         WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
+    "q16_set_intersect" ->
+      """SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0
+         INTERSECT SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1) ORDER BY user_id""",
+    "q17_set_except" ->
+      """SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE value > 99
+         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 95)
+         ORDER BY user_id""",
+    "q18_window_analytics" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING),2) AS running_value,
+         lag(event_type,1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+         FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q20_token_stats" ->
+      """SELECT doc_id, length(text) AS n,
+         length(text) - length(replace(text,' ','')) + 1 AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q21_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(replace(text,' ','')) + 1 AS words,
+         round(CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+               / (length(text) - length(replace(text,' ','')) + 1), 6) AS stop_ratio,
+         round(least(1.0, CAST(length(text) - length(replace(text,' ','')) + 1 AS DOUBLE) / 100.0)
+               * (1.0 - CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS DOUBLE) / length(text)), 6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q22_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+         CASE WHEN CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+                   / len(string_split(text,' ')) >= 0.08 THEN 'en'
+              WHEN CAST(length(replace(text,' ','')) AS DOUBLE)
+                   / (length(text) - length(replace(text,' ','')) + 1) >= 4.66 THEN 'de'
+              WHEN CAST(length(replace(text,' ','')) AS DOUBLE)
+                   / (length(text) - length(replace(text,' ','')) + 1) >= 4.55 THEN 'fr'
+              WHEN CAST(length(replace(text,' ','')) AS DOUBLE)
+                   / (length(text) - length(replace(text,' ','')) + 1) >= 4.47 THEN 'es'
+              ELSE 'zh' END AS predicted_lang
+         FROM documents ORDER BY doc_id""",
+    "q23_fingerprint" ->
+      """SELECT doc_id, sha256(text) AS sha, substr(sha256(text),1,8) AS fp8,
+         substr(sha256(lang || '|' || text),1,16) AS keyed_fp
+         FROM documents ORDER BY doc_id""",
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count, content_hash FROM
+         (SELECT doc_id, sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash FROM documents)
+         GROUP BY content_hash ORDER BY doc_id""",
+    "q25_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, lang,
+             unnest(list_transform(range(1, len(string_split(text,' '))-1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i FROM sh a
+                   JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT d1, d2, round(CAST(i AS DOUBLE)/(x.n + y.n - i), 6) AS jaccard
+         FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8 ORDER BY d1, d2""",
+    "q28_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                round(list_cosine_similarity(a.emb, b.emb),4) AS cos
+         FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.emb, b.emb),4) >= 0.3 ORDER BY q_id, c_id""",
+    "q29_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                      round(list_cosine_similarity(a.emb, b.emb),4) AS cos
+               FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+         SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
+         (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+    "q33_media_meta" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes, sha256(text) AS media_sha
+         FROM documents ORDER BY doc_id""",
+    "q30_cdc_replay" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    "q31_cdc_schema_evolution" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang,
+                CASE WHEN event_id >= (SELECT (max(event_id)+1)//2 FROM events)
+                     THEN CAST(round(value*100) AS BIGINT) ELSE NULL END AS value_cents
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+  ).map { case (k, v) => k -> v.linesIterator.map(_.trim).mkString(" ") }
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cdc._
+import graft.cdc.lake._
+import graft.cdc.ingest._
+import graft.cdc.model._
+
+/** CDC engine exposed as oracle-checkable queries: the events table is a
+  * change-stream stand-in (lsn = event_id, key = user_id -> (repo, path),
+  * 'error' = delete). Each query replays the stream through the REAL lake
+  * engine (epochs, dedup, CoW merge, fenced commits) into a temp-dir table
+  * and returns the final state — which DuckDB re-derives relationally. This
+  * makes the whole replay path (not just its pieces) part of the driver's
+  * correctness gate.
+  */
+object cdcq {
+
+  /** Map the events table to change events with the north-rule key shape. */
+  private def asChanges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        col("event_id").as("lsn"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        concat(lit("r"), (col("user_id") % 50).cast("string")).as("repo"),
+        concat(lit("p/"), col("user_id").cast("string")).as("path"),
+        col("event_id").cast("string").as("commit_id"),
+        col("event_type").as("lang"),
+        col("props").as("content"))
+
+  private val tableSchema = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit_id", StringType),
+    StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  /** Flagship: multi-epoch replay through the lake engine; returns the final
+    * table state (repo, path, commit_id, lang, content). */
+  def replay(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs // ceil so the last range covers maxLsn
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+    }
+    changes.unpersist()
+    table.read()
+      .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("content"))
+      .orderBy(col("repo"), col("path"))
+  }
+
+  /** Replay with mid-stream additive schema evolution: after half the stream,
+    * the table gains a `value_cents` column; later events carry it, earlier
+    * rows read back as null. Exercises evolveSchema + conform-on-read +
+    * mixed-schema-version files in one table. */
+  def replayEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val maxLsn = ev.agg(max("event_id")).collect()(0).getLong(0)
+    val half = (maxLsn + 1) / 2
+    val changes = asChanges(spark, dir)
+      .join(ev.select(col("event_id").as("lsn"), col("value")), Seq("lsn"))
+      .withColumn("value_cents",
+        when(col("lsn") >= half, round(col("value") * 100).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .cache()
+
+    val v2Schema = StructType(tableSchema.fields :+ StructField("value_cents", LongType))
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-ev").toString
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val reg1 = SchemaRegistry.single(tableSchema)
+    val engine1 = new ReplayEngine(table, reg1)
+    engine1.applyEpoch(changes.filter(col("lsn") < half).drop("value_cents", "value"), 0)
+    // additive evolution between epochs (the north rule's mid-stream case)
+    table.evolveSchema(v2Schema)
+    val engine2 = new ReplayEngine(table, table.snapshot.registry)
+    engine2.applyEpoch(changes.filter(col("lsn") >= half).drop("value"), 1)
+    changes.unpersist()
+    table.read()
+      .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("value_cents"))
+      .orderBy(col("repo"), col("path"))
+  }
+}
