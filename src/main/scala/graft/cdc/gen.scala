@@ -40,7 +40,9 @@ object gen {
     val keyIdx = floor(lit(cfg.nKeys.toDouble) * pow(u, lit(cfg.zipf)))
     val repoIdx = floor(sqrt(keyIdx.cast("double")))
     val opMod = pmod(h2, lit(100L))
-    val langIdx = pmod(h2, lit(5L)).cast("int")
+    // lang is a property of the FILE (key), not of the event: derive from the
+    // key index so updates to a key keep a stable (repo, path, lang) identity
+    val langIdx = pmod(keyIdx.cast("long"), lit(5L)).cast("int")
     val langs = array(lit("scala"), lit("py"), lit("java"), lit("go"), lit("md"))
     val df = base
       .withColumn("op",
@@ -86,7 +88,7 @@ object gen {
     val opMod = pmodL(h2, 100L)
     val op = if (opMod < cfg.deletePct) "D" else if (opMod < 55) "U" else "I"
     val sv = if (lsn >= cfg.evolveAtLsn) 2 else 1
-    val lang = langsArr(pmodL(h2, 5L).toInt)
+    val lang = langsArr(pmodL(keyIdx, 5L).toInt)
     val repo = s"org${pmodL(repoIdx, 1000L)}/repo$repoIdx"
     val path = s"src/d${pmodL(keyIdx, 20L)}/f_$keyIdx.$lang"
     val commit = f"$h3%016x$h2%016x" + f"$h1%016x".take(8)

@@ -97,6 +97,16 @@ object ingest {
       val metricsTable: Option[LakeTable] = None,
       val ledger: Option[CheckpointLedger] = None) {
 
+    // The merge aggregation uses a TypedImperativeAggregate (MaxByRow) that
+    // runs in ObjectHashAggregateExec; Spark's default sort-fallback threshold
+    // (128 groups!) would demote it to sort-based immediately. Partitions are
+    // sized so their key count fits memory (same invariant as any hash join
+    // build side), so raise the threshold. Tunable by setting it BEFORE
+    // constructing the engine.
+    if (table.spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "128") {
+      table.spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+    }
+
     /** Apply one epoch of change events. `events` must carry `lsn`, `op`, and
       * payload columns for some registry version (extra columns are dropped by
       * conform; missing newer columns are null-filled).
@@ -128,11 +138,12 @@ object ingest {
       //    means an aborted epoch leaves no partial state)
       gate.foreach(_.check(withMeta.where(col("op") =!= "D")))
 
-      // 3. per-key max-LSN dedup
-      val deduped = Dedup.latestPerKey(withMeta, snap.keyColumns)
-
-      // 4. copy-on-write merge + fenced commit
-      val res = table.merge(deduped, epochId)
+      // 3.+4. copy-on-write merge with the per-key max-LSN dedup FUSED into
+      //    the merge aggregation (one wide shuffle; see LakeTable.merge),
+      //    then the fenced commit. Epochs known to be dense (>= 32 events per
+      //    bucket on average) skip the touched-bucket pre-pass.
+      val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
+      val res = table.merge(withMeta, epochId, assumeFullTouch = dense)
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val applied = res.lineage.map(l => l.rows_upserted + l.rows_deleted).sum

@@ -93,6 +93,15 @@ object lake {
 
   private implicit val jsonFormats: Formats = Serialization.formats(NoTypeHints)
 
+  /** Phase timing, enabled with -Dgraft.debug.timing=1 (dev/bench only). */
+  private[cdc] def timed[T](label: String)(f: => T): T =
+    if (System.getProperty("graft.debug.timing", "0") == "1") {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[timing] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    } else f
+
   object LakeTable {
     /** Idempotent create (reference: src/delta_engine/execute/ddl.py:47-63). */
     def createIfNotExists(
@@ -176,9 +185,15 @@ object lake {
     // ---- read path ---------------------------------------------------------
 
     /** Bucket assignment: hash of the full merge key, so a hot repo spreads
-      * across every bucket (skew) while each key still lives in exactly one. */
+      * across every bucket (skew) while each key still lives in exactly one.
+      *
+      * Deliberately `pmod(hash(keys), NB)` — Spark's own Murmur3 shuffle hash —
+      * so that after a join/aggregate that shuffled on the key columns, every
+      * bucket lands wholly inside one task whenever NB and the shuffle
+      * partition count divide each other. The merge write then needs NO extra
+      * repartition: one shuffle saved per epoch, ~NB output files. */
     def bucketExpr(snap: Snapshot): org.apache.spark.sql.Column =
-      pmod(xxhash64(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
+      pmod(hash(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
 
     /** Read the current table state. Files written under older schema versions
       * are read with their own physical schema then conformed (cast / null-fill)
@@ -206,19 +221,26 @@ object lake {
       * the new DataFiles. Parquet row counts come from file footers (no second
       * scan of the data). */
     private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
-        lsnByBucket: Map[Int, (Long, Long)]): Seq[DataFile] = {
+        repartitionByBucket: Boolean = true): Seq[DataFile] = {
+      val lsnByBucket = Map.empty[Int, (Long, Long)] // callers stamp lsn ranges post-hoc
       val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
       val cols = snap.schema.fieldNames.map(col)
-      df.withColumn("_b", bucketExpr(snap))
+      val bucketed = df.withColumn("_b", bucketExpr(snap))
         .select((cols :+ col("_b")).toSeq: _*)
-        .repartition(col("_b"))
-        .write.partitionBy("_b").parquet(outDir.toString)
-      listParquet(outDir).map { p =>
+      // merge output is already hash-partitioned on the key columns, which
+      // determines the bucket — skip the extra shuffle in that case
+      val laidOut = if (repartitionByBucket) bucketed.repartition(col("_b")) else bucketed
+      timed("write:parquet")(laidOut.write.partitionBy("_b").parquet(outDir.toString))
+      val paths = timed("write:list")(listParquet(outDir))
+      // footer reads are driver-side; parallelize so commit latency stays
+      // O(files / threads), not O(files)
+      import scala.jdk.CollectionConverters._
+      paths.asJava.parallelStream().map[DataFile] { p =>
         val rel = Paths.get(root).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
         val (lsnMin, lsnMax) = lsnByBucket.getOrElse(bucket, (-1L, -1L))
         DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion, lsnMin, lsnMax)
-      }
+      }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
 
     private def listParquet(dir: Path): Seq[Path] = {
@@ -246,7 +268,7 @@ object lake {
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
-      val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version, Map.empty)
+      val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
       val next = next0.copy(files = files)
       val ok = commit(next)
       val lin = files.groupBy(_.bucket).map { case (b, fs) =>
@@ -262,7 +284,7 @@ object lake {
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
-      val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version, Map.empty)
+      val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
       val next = next0.copy(files = cur.files ++ added)
       val ok = commit(next)
       val lin = added.groupBy(_.bucket).map { case (b, fs) =>
@@ -290,43 +312,85 @@ object lake {
       * kernel (reference contract: whenMatchedUpdateAll / whenNotMatchedInsertAll,
       * /root/reference/src/models/writer.py:42-67, plus a delete extension).
       *
-      * `batch` must carry columns: lsn:long, op:string(I|U|D) + the current
-      * schema's columns, ALREADY deduped to one event per key (use
-      * [[graft.cdc.ingest.Dedup.latestPerKey]]). Only buckets present in the
-      * batch are read and rewritten; untouched buckets carry over by manifest
-      * reference (zero data movement).
+      * `batch` carries columns: lsn:long, op:string(I|U|D) + the current
+      * schema's columns. It may contain MULTIPLE events per key: per-key
+      * max-LSN dedup is FUSED into the merge itself (see below). Only buckets
+      * present in the batch are read and rewritten; untouched buckets carry
+      * over by manifest reference (zero data movement).
+      *
+      * Physical shape — ONE Spark job, one wide shuffle, per dense epoch:
+      * union(target rows @ lsn=-1, batch events) -> hash-aggregate
+      * max_by_row(payload, lsn) per key (custom TypedImperativeAggregate,
+      * graft.functions.MaxByRow — the built-in max_by(struct, lsn) degrades
+      * to SortAggregate for wide payloads) -> drop keys whose winner is a
+      * delete -> bucketed write. Dedup, matched-update, not-matched-insert
+      * and delete collapse into one partial-aggregatable shuffle: a duplicate
+      * storm on a hot key combines map-side, and the aggregate's hash
+      * partitioning on the key columns is already bucket-aligned for the
+      * write (no extra repartition). Per-bucket lineage stats ride along via
+      * Dataset.observe — no separate pass.
+      *
+      * Sparse epochs (`assumeFullTouch = false` and no density hint): a
+      * narrow stats pass over (repo, path, lsn, op) — content column-pruned
+      * out of the scan — first computes the touched-bucket set, so only those
+      * buckets' files are read and rewritten; untouched buckets carry over by
+      * manifest reference (zero data movement). This is the path that matters
+      * at 100 TB: epoch cost scales with the batch's key spread, not with
+      * table size.
       */
-    def merge(batch: DataFrame, epochId: Long): CommitResult = {
+    def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
+      val nonKey = payload.filterNot(keys.contains)
 
-      // Per-bucket batch stats: one small aggregate over the (deduped) batch —
-      // feeds lineage + the touched-bucket set, never scans the target.
-      val statsRows = batch
-        .groupBy(bucketExpr(cur).as("_b"))
+      // per-bucket batch stats, one narrow aggregate job (content is
+      // column-pruned out of the scan). Dense epochs aggregate RAW events
+      // straight to <= numBuckets groups — fully map-side combinable, no
+      // per-key stage. Sparse epochs first reduce to per-key winners so the
+      // lineage counts are exact applied rows (and the touched-bucket set
+      // prunes the target read).
+      val narrow = batch.select((keys.map(col) :+ col("lsn") :+ col("op")): _*)
+      val perBucket =
+        if (assumeFullTouch) narrow.groupBy(bucketExpr(cur).as("_b"))
+        else narrow
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(col("op"), col("lsn")).as("op"), max("lsn").as("lsn"))
+          .groupBy(bucketExpr(cur).as("_b"))
+      val statsRows = timed("merge:stats")(perBucket
         .agg(min("lsn").as("lmin"), max("lsn").as("lmax"),
           sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
           sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("ups"))
-        .collect()
+        .collect())
       if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
       val touched: Set[Int] = statsRows.map(_.getAs[Int]("_b")).toSet
       val lsnByBucket = statsRows.map(r =>
         r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
       val lsnHigh = lsnByBucket.values.map(_._2).max
 
-      val target = readBuckets(cur, Some(touched)).alias("t")
-      val source = batch.alias("s")
-      val joined = target.join(source, keys, "full_outer")
-      val merged = joined
-        .filter(!(col("s.op") <=> lit("D"))) // delete: drop the key
-        .select(keys.map(col) ++ payload.filterNot(keys.contains).map { c =>
-          when(col("s.op").isNull, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
-        }: _*)
+      // fused dedup+merge: target rows join the race at lsn = -1 so any
+      // batch event for the key wins; absent keys keep the target row
+      val ordered = (Seq(col("lsn"), col("op")) ++ payload.map(col))
+      val target = readBuckets(cur, Some(touched))
+        .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
+      val all = target.unionByName(batch.select(ordered: _*))
+      val merged = all
+        .groupBy(keys.map(col): _*)
+        .agg(graft.functions.MaxByRow.maxByRow(
+          struct((Seq(col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
+        .filter(!(col("_e.op") <=> lit("D")))
+        .select(keys.map(col) ++ nonKey.map(c => col(s"_e.$c").as(c)): _*)
 
       val nextVersion = cur.version + 1
-      val newFiles = writeBucketed(merged, cur, nextVersion, lsnByBucket)
+      timed("merge:plan")(merged.queryExecution.executedPlan)
+      // the aggregate hash-partitioned on the key columns, which determines
+      // the bucket — no repartition before the bucketed write
+      val rawFiles = timed("merge:agg+write")(writeBucketed(merged, cur, nextVersion,
+        repartitionByBucket = false))
+      val newFiles = rawFiles.map(f =>
+        f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
+          lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
       val carried = cur.files.filterNot(f => touched(f.bucket))
       val next = cur.copy(version = nextVersion, epochId = epochId,
         lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles)
@@ -334,11 +398,10 @@ object lake {
       val removedByBucket = cur.files.filter(f => touched(f.bucket)).groupBy(_.bucket)
       val lin = statsRows.map { r =>
         val b = r.getAs[Int]("_b")
-        val added = newFiles.filter(_.bucket == b)
         LineageEntry(name, nextVersion, epochId, b,
           r.getAs[Long]("lmin"), r.getAs[Long]("lmax"),
           r.getAs[Long]("ups"), r.getAs[Long]("dels"),
-          added.size, removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
+          newFiles.count(_.bucket == b), removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
       }.toSeq
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }

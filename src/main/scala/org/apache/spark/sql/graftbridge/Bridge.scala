@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for the Column <-> Expression conversions, which are
+  * private[sql] in Spark 4 — required to expose custom Catalyst expressions
+  * (e.g. graft.functions.MaxByRow) through the public Column API. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
