@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_set_intersect" -> (relational.setIntersect _),
     "q17_set_except" -> (relational.setExcept _),
     "q18_window_analytics" -> (relational.windowAnalytics _),
+    "q19_date_funcs" -> (relational.dateFuncs _),
     // text analysis
     "q20_token_stats" -> (text.tokenStats _),
     "q21_quality_score" -> (text.qualityScore _),
@@ -145,6 +146,11 @@ object SparkEntry {
          round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING),2) AS running_value,
          lag(event_type,1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q19_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, count(*) AS n,
+         round(sum(o_totalprice),2) AS total FROM orders
+         WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 900 DAY
+         GROUP BY 1,2 ORDER BY 1,2""",
     "q20_token_stats" ->
       """SELECT doc_id, length(text) AS n,
          length(text) - length(replace(text,' ','')) + 1 AS ws_tokens,

@@ -405,5 +405,71 @@ object lake {
       }.toSeq
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
+
+    // ---- maintenance ------------------------------------------------------
+
+    /** Time travel: read the table as of an older snapshot version. CoW never
+      * mutates files in place, so any non-vacuumed snapshot reads exactly. */
+    def readAt(version: Long): DataFrame = {
+      val snap = snapshotAt(version)
+      readBuckets(snap, None)
+    }
+
+    /** List snapshot versions currently on disk (oldest first). */
+    def history(): Seq[Long] = {
+      if (!Files.isDirectory(metaDir)) return Nil
+      val s = Files.list(metaDir)
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted.toSeq
+      finally s.close()
+    }
+
+    /** Compact a bucket's small files into one file per bucket (logical no-op;
+      * data rewrite only). Buckets whose file count is below `minFiles` are
+      * left alone. Returns the number of buckets compacted. */
+    def compact(minFiles: Int = 2): Int = synchronized {
+      val cur = snapshot
+      val toCompact = cur.files.groupBy(_.bucket).filter(_._2.size >= minFiles)
+      if (toCompact.isEmpty) return 0
+      val buckets = toCompact.keySet
+      val data = readBuckets(cur, Some(buckets))
+      val newFiles = writeBucketed(data, cur, cur.version + 1).map { f =>
+        val olds = toCompact.getOrElse(f.bucket, Nil)
+        f.copy(lsnMin = if (olds.isEmpty) -1L else olds.map(_.lsnMin).min,
+          lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
+      }
+      val next = cur.copy(version = cur.version + 1,
+        files = cur.files.filterNot(f => buckets(f.bucket)) ++ newFiles)
+      require(commit(next, fence = false), "compaction commit failed")
+      buckets.size
+    }
+
+    /** Garbage-collect: drop all snapshots except the newest `keepSnapshots`
+      * and delete every data file no kept snapshot references, plus orphan
+      * files from crashed writes. Returns (#manifests removed, #files removed). */
+    def vacuum(keepSnapshots: Int = 1): (Int, Int) = synchronized {
+      val versions = history()
+      val keep = versions.takeRight(math.max(1, keepSnapshots)).toSet
+      val referenced: Set[String] = keep.flatMap(v => snapshotAt(v).files.map(_.path))
+      var manifestsRemoved = 0
+      versions.filterNot(keep).foreach { v => Files.deleteIfExists(snapPath(v)); manifestsRemoved += 1 }
+      var filesRemoved = 0
+      if (Files.isDirectory(dataDir)) {
+        val all = listParquet(dataDir)
+        all.foreach { p =>
+          val rel = Paths.get(root).relativize(p).toString
+          if (!referenced(rel)) { Files.deleteIfExists(p); filesRemoved += 1 }
+        }
+        // prune now-empty snapshot data dirs
+        val ds = Files.list(dataDir)
+        try ds.forEach { d =>
+          if (Files.isDirectory(d) && !Files.walk(d).anyMatch(f => Files.isRegularFile(f))) {
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(x => Files.deleteIfExists(x))
+          }
+        } finally ds.close()
+      }
+      (manifestsRemoved, filesRemoved)
+    }
   }
 }

@@ -206,6 +206,16 @@ object relational {
       .orderBy(col("user_id"))
   }
 
+  /** F5-F7: date/time function battery — year/month/quarter buckets with
+    * interval arithmetic in the predicate (reference: timeliness SLO date
+    * windows, src/metadata/slo/timeliness.py:55). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") < expr("timestamp'1995-01-01 00:00:00' + interval 900 day"))
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("y"), col("q"))
+
   /** Window analytics: running sum + lag (deterministic accumulation order). */
   def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
