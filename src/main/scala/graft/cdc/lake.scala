@@ -91,6 +91,12 @@ object lake {
       snapshot: Snapshot,
       lineage: Seq[LineageEntry])
 
+  /** Optimistic-concurrency failure: another writer committed this version. */
+  final class CommitConflictException(table: String, version: Long, cause: Throwable)
+    extends RuntimeException(
+      s"concurrent commit: snapshot v$version of '$table' already exists (optimistic concurrency — reload and retry)",
+      cause)
+
   private implicit val jsonFormats: Formats = Serialization.formats(NoTypeHints)
 
   /** Phase timing, enabled with -Dgraft.debug.timing=1 (dev/bench only). */
@@ -174,7 +180,12 @@ object lake {
       val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.writeString(tmp, Serialization.write(next))
       try Files.move(tmp, snapPath(next.version), StandardCopyOption.ATOMIC_MOVE)
-      catch { case NonFatal(e) => Files.deleteIfExists(tmp); throw e }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new CommitConflictException(name, next.version, e)
+        case NonFatal(e) => Files.deleteIfExists(tmp); throw e
+      }
       val ptrTmp = metaDir.resolve(s".ptr-${UUID.randomUUID()}")
       Files.writeString(ptrTmp, next.version.toString)
       Files.move(ptrTmp, metaDir.resolve("_CURRENT"),
@@ -194,6 +205,11 @@ object lake {
       * repartition: one shuffle saved per epoch, ~NB output files. */
     def bucketExpr(snap: Snapshot): org.apache.spark.sql.Column =
       pmod(hash(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
+
+    /** Expose the current table state to Spark SQL as a temp view
+      * (`spark.sql("SELECT ... FROM <viewName>")`). Re-call after commits to
+      * see a newer snapshot (views bind a snapshot — MVCC reads for free). */
+    def createView(viewName: String): Unit = read().createOrReplaceTempView(viewName)
 
     /** Read the current table state. Files written under older schema versions
       * are read with their own physical schema then conformed (cast / null-fill)

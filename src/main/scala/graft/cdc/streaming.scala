@@ -31,6 +31,21 @@ object streaming {
     r.parquet(dir)
   }
 
+  /** Streaming analytics over the change feed itself: watermarked, windowed
+    * per-op counts + key cardinality estimate (the SLO-metrics analog of the
+    * reference, src/metadata/slo/quality.py, in streaming form). `tsCol` must
+    * be an event-time timestamp column on the stream. */
+  def changeFeedMetrics(events: DataFrame, tsCol: String,
+      windowLen: String = "1 minute", watermark: String = "5 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("op"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(concat_ws("|", col("repo"), col("path"))).as("approx_keys"),
+        min("lsn").as("lsn_min"), max("lsn").as("lsn_max"))
+  }
+
   /** Run the CDC apply loop over a streaming source; one micro-batch = one
     * epoch. `Trigger.AvailableNow` drains everything currently in the source
     * then stops (deterministic for tests/bench); pass ProcessingTime for a

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+import graft.cdc.lake._
+import graft.cdc.ingest._
+import graft.cdc.model._
+import graft.cdc.quality._
+
+/** Replay-convergence properties the north rule demands: the final state is
+  * insensitive to intra-epoch ORDER and to event DUPLICATION (redelivery), the
+  * quality gate aborts an epoch atomically, and concurrent commits conflict
+  * cleanly. */
+class ConvergenceSpec extends SparkSuite {
+
+  private def stateHash(t: LakeTable): (Long, Long) = {
+    val df = t.read()
+    (df.count(), df.agg(sum(crc32(concat_ws("|", col("repo"), col("path"),
+      sha2(col("content"), 256), col("commit"), col("lang"))))).collect()(0).getLong(0))
+  }
+
+  private def replayWith(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      cfg: gen.GenConfig, epochs: Int): LakeTable = {
+    val table = LakeTable.createIfNotExists(spark, tmpDir("conv"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val all = gen.changeEvents(spark, cfg)
+    val per = cfg.n / epochs
+    (0 until epochs).foreach { e =>
+      val slice = all.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per)
+      engine.applyEpoch(transform(slice), e)
+    }
+    table
+  }
+
+  test("order-insensitive: shuffled event order within each epoch converges identically") {
+    val cfg = gen.GenConfig(n = 9000, nKeys = 1500, numPartitions = 4)
+    val base = replayWith(identity, cfg, 3)
+    val shuffled = replayWith(df => df.orderBy(xxhash64(col("lsn"), lit(99L))).repartition(7), cfg, 3)
+    assert(stateHash(base) == stateHash(shuffled))
+  }
+
+  test("duplication-insensitive: redelivered events within an epoch converge identically") {
+    val cfg = gen.GenConfig(n = 9000, nKeys = 1500, numPartitions = 4)
+    val base = replayWith(identity, cfg, 3)
+    // redeliver ~40% of each epoch's events twice more, in arbitrary order
+    val duplicated = replayWith({ df =>
+      val dups = df.filter(pmod(xxhash64(col("lsn"), lit(7L)), lit(5)) < 2)
+      df.unionAll(dups).unionAll(dups).orderBy(xxhash64(col("lsn"), lit(13L)))
+    }, cfg, 3)
+    assert(stateHash(base) == stateHash(duplicated))
+  }
+
+  test("quality gate aborts the epoch atomically; the fixed batch then applies") {
+    import spark.implicits._
+    val table = LakeTable.createIfNotExists(spark, tmpDir("gate"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val gate = new QualityGate(Seq(
+      Check("lang_allowed", "lang", Criticality.Error,
+        col("lang").isNotNull && !col("lang").isin("scala", "py"))))
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), gate = Some(gate))
+    val bad = Seq((1L, "U", "r", "p1", "c", "scala", "x"), (2L, "U", "r", "p2", "c", "COBOL", "y"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    intercept[QualityGateError] { engine.applyEpoch(bad, 0) }
+    assert(table.snapshot.epochId == -1 && table.read().count() == 0, "abort must leave zero state")
+    val good = bad.filter(col("lang") === "scala")
+    val r = engine.applyEpoch(good, 0)
+    assert(r.committed && table.read().count() == 1)
+  }
+
+  test("optimistic concurrency: losing a commit race is rejected, state intact") {
+    val root = tmpDir("race")
+    val a = LakeTable.createIfNotExists(spark, root, "t", RepoRow.schemaV1, RepoRow.keyColumns, 4)
+    val b = LakeTable.load(spark, root, "t")
+    val s = a.snapshot
+    assert(a.commit(s.copy(version = s.version + 1, epochId = 0)))
+    // the stale writer is stopped by the version check (or, if it raced past
+    // it, by the ATOMIC_MOVE onto the existing manifest -> CommitConflict)
+    val e = intercept[Exception] { b.commit(s.copy(version = s.version + 1, epochId = 1)) }
+    assert(e.isInstanceOf[CommitConflictException] || e.isInstanceOf[IllegalArgumentException],
+      e.toString)
+    assert(b.snapshot.epochId == 0, "winner's commit must stand")
+  }
+}
