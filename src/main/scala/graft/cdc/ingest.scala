@@ -148,8 +148,10 @@ object ingest {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val applied = res.lineage.map(l => l.rows_upserted + l.rows_deleted).sum
       val eventsIn = knownInputCount.getOrElse(if (res.committed) events.count() else 0L)
-      val m = EpochMetrics(epochId, eventsIn, applied, applied, wallMs,
-        if (wallMs > 0) eventsIn * 1000.0 / wallMs else 0.0)
+      val m = EpochMetrics(epochId, eventsIn,
+        events_deduped = math.max(0L, eventsIn - applied), events_applied = applied,
+        wall_ms = wallMs,
+        events_per_sec = if (wallMs > 0) eventsIn * 1000.0 / wallMs else 0.0)
 
       if (res.committed) {
         val spark = table.spark

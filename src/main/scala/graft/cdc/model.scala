@@ -107,6 +107,17 @@ object model {
       s"duplicate column names in table $name")
   }
 
+  object ColumnDef {
+    /** Reverse-engineer declared columns from an inferred schema — the bronze
+      * ingest contract (reference: src/bronze/ingest.py:20-25). */
+    def fromSchema(schema: StructType, primaryKey: Seq[String] = Nil): Seq[ColumnDef] =
+      schema.fields.toSeq.map { f =>
+        ColumnDef(f.name, f.dataType, f.nullable,
+          comment = f.getComment().getOrElse(""),
+          isPrimaryKey = primaryKey.contains(f.name))
+      }
+  }
+
   /** Observed (live) state of a lake table, snapshot for the planner diff
     * (reference: src/delta_engine/state/states.py:27-103). */
   final case class TableState(

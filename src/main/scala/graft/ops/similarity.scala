@@ -69,6 +69,59 @@ object similarity {
       when(dot > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (deterministic seed
+    * centroids + Lloyd iterations, all as DataFrame aggregations), corpus
+    * assigned to its nearest centroid's cell, queries probe the `nprobe`
+    * nearest cells and rescore exactly. The scale path: assignment is one
+    * narrow pass; search touches corpus/k * nprobe vectors per query. */
+  def annIvf(spark: SparkSession, dir: String, maxQueryId: Int = 5, k: Int = 3,
+      nCells: Int = 8, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("emb")).cache()
+
+    // deterministic init: the first nCells vectors seed the centroids
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    def nearestCell(embCol: Column, cs: Array[Array[Double]]): Column =
+      cs.zipWithIndex.map { case (c, i) =>
+        struct(cosine(embCol, array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
+      }.reduce((a, b) => when(a.getField("cos") >= b.getField("cos"), a).otherwise(b))
+        .getField("cell")
+
+    // Lloyd: assign -> elementwise mean per cell (posexplode + groupBy)
+    (0 until lloydIters).foreach { _ =>
+      val assigned = e.withColumn("cell", nearestCell(col("emb"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+
+    val corpus = e.withColumn("cell", nearestCell(col("emb"), centroids))
+    // queries probe the nprobe nearest cells
+    val cellScores = (0 until centroids.length).map(i =>
+      struct(cosine(col("q_emb"), array(centroids(i).map(lit): _*)).as("cos"), lit(i).as("cell")))
+    val q = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .withColumn("probe_cells", slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
+      .select(col("q_id"), col("q_emb"), explode(col("probe_cells")).as("pc"))
+      .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val out = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+    e.unpersist()
+    out
+  }
+
   /** LSH-bucketed ANN: bucket corpus by 8-bit hyperplane signature, search
     * each query only within its bucket (plus exact rescoring). At scale the
     * bucketing is ONE narrow pass over the corpus; queries never see vectors
