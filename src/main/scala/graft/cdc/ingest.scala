@@ -78,6 +78,17 @@ object ingest {
       metrics: EpochMetrics,
       lineage: Seq[LineageEntry])
 
+  /** How epochs are applied to the lake table. */
+  sealed trait MergeMode
+  object MergeMode {
+    /** Copy-on-write: every epoch rewrites the touched buckets (read-optimal). */
+    case object CoW extends MergeMode
+    /** Merge-on-read: epochs append per-key-winner delta files; reads apply
+      * them with the fused max-LSN aggregation (write-optimal; compact with
+      * `table.compactDeltas()` or any CoW merge touching the bucket). */
+    case object MoR extends MergeMode
+  }
+
   /** Epoch-driven CDC apply loop over a [[lake.LakeTable]].
     *
     * One `applyEpoch` = the reference's per-batch merge lifecycle
@@ -95,7 +106,8 @@ object ingest {
       val gate: Option[quality.QualityGate] = None,
       val lineageTable: Option[LakeTable] = None,
       val metricsTable: Option[LakeTable] = None,
-      val ledger: Option[CheckpointLedger] = None) {
+      val ledger: Option[CheckpointLedger] = None,
+      val mode: MergeMode = MergeMode.CoW) {
 
     // The merge aggregation uses a TypedImperativeAggregate (MaxByRow) that
     // runs in ObjectHashAggregateExec; Spark's default sort-fallback threshold
@@ -143,7 +155,10 @@ object ingest {
       //    then the fenced commit. Epochs known to be dense (>= 32 events per
       //    bucket on average) skip the touched-bucket pre-pass.
       val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
-      val res = table.merge(withMeta, epochId, assumeFullTouch = dense)
+      val res = mode match {
+        case MergeMode.CoW => table.merge(withMeta, epochId, assumeFullTouch = dense)
+        case MergeMode.MoR => table.deltaAppend(withMeta, epochId, assumeFullTouch = dense)
+      }
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val applied = res.lineage.map(l => l.rows_upserted + l.rows_deleted).sum

@@ -50,7 +50,8 @@ object lake {
       bytes: Long,
       schemaVersion: Int,
       lsnMin: Long,
-      lsnMax: Long)
+      lsnMax: Long,
+      kind: String = "base") // "base" (payload rows) | "delta" (lsn+op+payload change rows)
 
   final case class Snapshot(
       formatVersion: Int,
@@ -217,18 +218,60 @@ object lake {
       * reader's widening support. */
     def read(): DataFrame = readBuckets(snapshot, None)
 
+    /** Current state of the selected buckets. If MoR delta files exist for
+      * them, they are applied at read time with the same fused max-LSN
+      * aggregation the CoW merge uses. */
     def readBuckets(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
-      val reg = snap.registry
       val wanted = buckets.map(bs => snap.files.filter(f => bs(f.bucket))).getOrElse(snap.files)
-      if (wanted.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      val base = readFileGroup(snap, wanted.filter(_.kind == "base"), withMeta = false)
+      val deltaFiles = wanted.filter(_.kind == "delta")
+      if (deltaFiles.isEmpty) base
+      else mergeExpr(base.select(
+          (Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++
+            snap.schema.fieldNames.map(col)): _*)
+          .unionByName(readFileGroup(snap, deltaFiles, withMeta = true)), snap)
+    }
+
+    /** Read a set of files, conforming each schema-version group to the
+      * snapshot's current schema. `withMeta` = the files carry (lsn, op)
+      * change metadata ahead of the payload (delta files). */
+    private def readFileGroup(snap: Snapshot, files: Seq[DataFile], withMeta: Boolean): DataFrame = {
+      val reg = snap.registry
+      val metaFields = Seq(StructField("lsn", LongType, nullable = false),
+        StructField("op", StringType, nullable = true))
+      val emptySchema = if (withMeta) StructType(metaFields ++ snap.schema.fields) else snap.schema
+      if (files.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
       } else {
-        wanted.groupBy(_.schemaVersion).map { case (sv, group) =>
+        files.groupBy(_.schemaVersion).map { case (sv, group) =>
           val paths = group.map(f => Paths.get(root, f.path).toString)
-          val df = spark.read.schema(snap.schemaOf(sv)).parquet(paths: _*)
-          reg.conform(df, snap.schemaVersion)
+          val physical = if (withMeta) StructType(metaFields ++ snap.schemaOf(sv).fields)
+            else snap.schemaOf(sv)
+          val df = spark.read.schema(physical).parquet(paths: _*)
+          if (withMeta) {
+            // conform the payload columns while keeping the change metadata
+            val have = df.schema.fieldNames.toSet
+            val payloadCols = snap.schema.fields.map { f =>
+              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }
+            df.select((Seq(col("lsn"), col("op")) ++ payloadCols).toSeq: _*)
+          } else reg.conform(df, snap.schemaVersion)
         }.reduce(_ unionByName _)
       }
+    }
+
+    /** The fused max-LSN resolution: input rows carry (lsn, op, payload...);
+      * per key the highest-LSN row wins, a winning delete drops the key.
+      * Used by both the CoW merge and the MoR read path. */
+    private def mergeExpr(all: DataFrame, snap: Snapshot): DataFrame = {
+      val keys = snap.keyColumns
+      val nonKey = snap.schema.fieldNames.toSeq.filterNot(keys.contains)
+      all.groupBy(keys.map(col): _*)
+        .agg(graft.functions.MaxByRow.maxByRow(
+          struct((Seq(col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
+        .filter(!(col("_e.op") <=> lit("D")))
+        .select(keys.map(col) ++ nonKey.map(c => col(s"_e.$c").as(c)): _*)
     }
 
     // ---- write path --------------------------------------------------------
@@ -237,10 +280,11 @@ object lake {
       * the new DataFiles. Parquet row counts come from file footers (no second
       * scan of the data). */
     private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
-        repartitionByBucket: Boolean = true): Seq[DataFile] = {
+        repartitionByBucket: Boolean = true, kind: String = "base"): Seq[DataFile] = {
       val lsnByBucket = Map.empty[Int, (Long, Long)] // callers stamp lsn ranges post-hoc
       val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
-      val cols = snap.schema.fieldNames.map(col)
+      val metaCols = if (kind == "delta") Seq(col("lsn"), col("op")) else Nil
+      val cols = metaCols ++ snap.schema.fieldNames.map(col)
       val bucketed = df.withColumn("_b", bucketExpr(snap))
         .select((cols :+ col("_b")).toSeq: _*)
       // merge output is already hash-partitioned on the key columns, which
@@ -255,7 +299,8 @@ object lake {
         val rel = Paths.get(root).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
         val (lsnMin, lsnMax) = lsnByBucket.getOrElse(bucket, (-1L, -1L))
-        DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion, lsnMin, lsnMax)
+        DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion,
+          lsnMin, lsnMax, kind)
       }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
 
@@ -367,36 +412,22 @@ object lake {
       // per-key stage. Sparse epochs first reduce to per-key winners so the
       // lineage counts are exact applied rows (and the touched-bucket set
       // prunes the target read).
-      val narrow = batch.select((keys.map(col) :+ col("lsn") :+ col("op")): _*)
-      val perBucket =
-        if (assumeFullTouch) narrow.groupBy(bucketExpr(cur).as("_b"))
-        else narrow
-          .groupBy(keys.map(col): _*)
-          .agg(max_by(col("op"), col("lsn")).as("op"), max("lsn").as("lsn"))
-          .groupBy(bucketExpr(cur).as("_b"))
-      val statsRows = timed("merge:stats")(perBucket
-        .agg(min("lsn").as("lmin"), max("lsn").as("lmax"),
-          sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
-          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("ups"))
-        .collect())
+      val statsRows = perBucketStats(batch, cur, assumeFullTouch)
       if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
       val touched: Set[Int] = statsRows.map(_.getAs[Int]("_b")).toSet
       val lsnByBucket = statsRows.map(r =>
         r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
       val lsnHigh = lsnByBucket.values.map(_._2).max
 
-      // fused dedup+merge: target rows join the race at lsn = -1 so any
-      // batch event for the key wins; absent keys keep the target row
+      // fused dedup+merge: base rows join the race at lsn = -1, MoR delta rows
+      // at their own LSN, batch events at theirs — one aggregation resolves
+      // everything (a CoW merge also compacts any deltas of touched buckets)
       val ordered = (Seq(col("lsn"), col("op")) ++ payload.map(col))
-      val target = readBuckets(cur, Some(touched))
+      val wanted = cur.files.filter(f => touched(f.bucket))
+      val base = readFileGroup(cur, wanted.filter(_.kind == "base"), withMeta = false)
         .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
-      val all = target.unionByName(batch.select(ordered: _*))
-      val merged = all
-        .groupBy(keys.map(col): _*)
-        .agg(graft.functions.MaxByRow.maxByRow(
-          struct((Seq(col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
-        .filter(!(col("_e.op") <=> lit("D")))
-        .select(keys.map(col) ++ nonKey.map(c => col(s"_e.$c").as(c)): _*)
+      val deltas = readFileGroup(cur, wanted.filter(_.kind == "delta"), withMeta = true)
+      val merged = mergeExpr(base.unionByName(deltas).unionByName(batch.select(ordered: _*)), cur)
 
       val nextVersion = cur.version + 1
       timed("merge:plan")(merged.queryExecution.executedPlan)
@@ -420,6 +451,97 @@ object lake {
           newFiles.count(_.bucket == b), removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
       }.toSeq
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+
+    /** Per-bucket batch stats, one narrow aggregate job (content is
+      * column-pruned out of the scan). Dense epochs aggregate RAW events
+      * straight to <= numBuckets groups — fully map-side combinable, no
+      * per-key stage. Sparse epochs first reduce to per-key winners so the
+      * lineage counts are exact applied rows (and the touched-bucket set
+      * prunes the target read). */
+    private def perBucketStats(batch: DataFrame, cur: Snapshot,
+        assumeFullTouch: Boolean): Array[org.apache.spark.sql.Row] = {
+      val keys = cur.keyColumns
+      val narrow = batch.select((keys.map(col) :+ col("lsn") :+ col("op")): _*)
+      val perBucket =
+        if (assumeFullTouch) narrow.groupBy(bucketExpr(cur).as("_b"))
+        else narrow
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(col("op"), col("lsn")).as("op"), max("lsn").as("lsn"))
+          .groupBy(bucketExpr(cur).as("_b"))
+      timed("merge:stats")(perBucket
+        .agg(min("lsn").as("lmin"), max("lsn").as("lmax"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("dels"),
+          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("ups"))
+        .collect())
+    }
+
+    /** Merge-on-read apply: dedup the batch to per-key winners and append
+      * them as bucketed DELTA files (deletes kept as tombstones) — no base
+      * rewrite. Readers apply deltas with the same fused max-LSN aggregation;
+      * [[compactDeltas]] (or any CoW merge touching the bucket) folds them
+      * into base files. The MoR trade: epoch apply cost ~ batch size instead
+      * of ~ touched-bucket size; read cost grows with outstanding deltas. */
+    def deltaAppend(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
+      val cur = snapshot
+      if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      val keys = cur.keyColumns
+      val payload = cur.schema.fieldNames.toSeq
+      val nonKey = payload.filterNot(keys.contains)
+
+      val statsRows = perBucketStats(batch, cur, assumeFullTouch)
+      if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
+      val lsnByBucket = statsRows.map(r =>
+        r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
+      val lsnHigh = lsnByBucket.values.map(_._2).max
+
+      // per-key winners incl. delete tombstones, keeping (lsn, op)
+      val winners = batch
+        .select((Seq(col("lsn"), col("op")) ++ payload.map(col)): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(graft.functions.MaxByRow.maxByRow(
+          struct((Seq(col("lsn"), col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
+        .select(Seq(col("_e.lsn").as("lsn"), col("_e.op").as("op")) ++ keys.map(col) ++
+          nonKey.map(c => col(s"_e.$c").as(c)): _*)
+
+      val nextVersion = cur.version + 1
+      val rawFiles = timed("merge:delta+write")(writeBucketed(winners, cur, nextVersion,
+        repartitionByBucket = false, kind = "delta"))
+      val newFiles = rawFiles.map(f =>
+        f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
+          lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
+      val next = cur.copy(version = nextVersion, epochId = epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = cur.files ++ newFiles)
+      val ok = commit(next)
+      val lin = statsRows.map { r =>
+        val b = r.getAs[Int]("_b")
+        LineageEntry(name, nextVersion, epochId, b,
+          r.getAs[Long]("lmin"), r.getAs[Long]("lmax"),
+          r.getAs[Long]("ups"), r.getAs[Long]("dels"),
+          newFiles.count(_.bucket == b), 0, nowTs())
+      }.toSeq
+      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+
+    /** Fold outstanding MoR delta files into base files (per-bucket CoW
+      * rewrite; logical no-op, epoch fence untouched). Returns buckets
+      * compacted. */
+    def compactDeltas(): Int = synchronized {
+      val cur = snapshot
+      val bucketsWithDeltas = cur.files.filter(_.kind == "delta").map(_.bucket).toSet
+      if (bucketsWithDeltas.isEmpty) return 0
+      val data = readBuckets(cur, Some(bucketsWithDeltas)) // fused apply
+      val olds = cur.files.filter(f => bucketsWithDeltas(f.bucket))
+      val newFiles = writeBucketed(data, cur, cur.version + 1, repartitionByBucket = false)
+        .map { f =>
+          val o = olds.filter(x => x.bucket == f.bucket && x.lsnMin >= 0)
+          f.copy(lsnMin = if (o.isEmpty) -1L else o.map(_.lsnMin).min,
+            lsnMax = if (o.isEmpty) -1L else o.map(_.lsnMax).max)
+        }
+      val next = cur.copy(version = cur.version + 1,
+        files = cur.files.filterNot(f => bucketsWithDeltas(f.bucket)) ++ newFiles)
+      require(commit(next, fence = false), "delta compaction commit failed")
+      bucketsWithDeltas.size
     }
 
     // ---- maintenance ------------------------------------------------------

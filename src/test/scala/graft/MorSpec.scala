@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+import graft.cdc.lake._
+import graft.cdc.ingest._
+import graft.cdc.model._
+
+/** Merge-on-read mode: delta appends converge to the same golden state as
+  * CoW, reads apply outstanding deltas, compaction folds them into base,
+  * and the two modes interoperate on one table. */
+class MorSpec extends SparkSuite {
+
+  private def golden(table: LakeTable, cfg: gen.GenConfig): Unit = {
+    val got = table.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val exp = gen.oracleFinalState(cfg)
+    assert(got.size == exp.size, s"got ${got.size}, expected ${exp.size}")
+    exp.foreach { case (k, e) => assert(got.get(k).contains(gen.sha256Hex(e.content)), s"sha for $k") }
+  }
+
+  test("MoR replay converges to the oracle; compaction is a logical no-op") {
+    val cfg = gen.GenConfig(n = 12000, nKeys = 2000, deletePct = 15, numPartitions = 4)
+    val table = LakeTable.createIfNotExists(spark, tmpDir("mor"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      mode = MergeMode.MoR)
+    val all = gen.changeEvents(spark, cfg)
+    (0 until 4).foreach { e =>
+      val r = engine.applyEpoch(all.filter(col("lsn") >= e * 3000 && col("lsn") < (e + 1) * 3000), e)
+      assert(r.committed)
+    }
+    assert(table.snapshot.files.exists(_.kind == "delta"), "MoR must leave delta files")
+    golden(table, cfg) // read-time application of deltas
+    val compacted = table.compactDeltas()
+    assert(compacted > 0)
+    assert(table.snapshot.files.forall(_.kind == "base"))
+    assert(table.snapshot.epochId == 3, "compaction must not advance the fence")
+    golden(table, cfg) // same state after compaction
+    // fence still works post-compaction
+    val fenced = engine.applyEpoch(all.filter(col("lsn") < 3000), 2)
+    assert(!fenced.committed)
+  }
+
+  test("mixed mode: MoR epochs then a CoW merge compacts touched buckets implicitly") {
+    val cfg = gen.GenConfig(n = 9000, nKeys = 1500, numPartitions = 4)
+    val table = LakeTable.createIfNotExists(spark, tmpDir("mix"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    val all = gen.changeEvents(spark, cfg)
+    val mor = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    (0 until 2).foreach(e => mor.applyEpoch(all.filter(col("lsn") >= e * 3000 && col("lsn") < (e + 1) * 3000), e))
+    assert(table.snapshot.files.exists(_.kind == "delta"))
+    val cow = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.CoW)
+    // dense CoW epoch touches every bucket -> all deltas folded
+    cow.applyEpoch(all.filter(col("lsn") >= 6000), 2, knownInputCount = Some(3000L))
+    assert(table.snapshot.files.forall(_.kind == "base"),
+      s"deltas must be compacted by the CoW merge: ${table.snapshot.files.map(_.kind).distinct}")
+    golden(table, cfg)
+  }
+
+  test("MoR with duplicates and deletes: tombstones win until a later upsert") {
+    import spark.implicits._
+    val table = LakeTable.createIfNotExists(spark, tmpDir("mor-d"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    def ev(lsn: Long, op: String, path: String, content: String) =
+      (lsn, op, "r", path, s"c$lsn", "scala", content)
+    engine.applyEpoch(Seq(ev(1, "I", "a", "a1"), ev(2, "I", "b", "b1"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 0)
+    engine.applyEpoch(Seq(ev(3, "D", "a", ""), ev(4, "U", "b", "b2"), ev(4, "U", "b", "b2"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 1)
+    val s1 = table.read().collect().map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(s1 == Map("b" -> "b2"), s"tombstone must hide 'a': $s1")
+    engine.applyEpoch(Seq(ev(5, "I", "a", "a2"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 2)
+    val s2 = table.read().collect().map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(s2 == Map("a" -> "a2", "b" -> "b2"))
+  }
+}
