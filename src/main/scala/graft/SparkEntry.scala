@@ -60,6 +60,7 @@ object SparkEntry {
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end
     "q30_cdc_replay" -> (cdcq.replay _),
+    "q30b_cdc_replay_mor" -> (cdcq.replayMor _),
     "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
   )
 
@@ -218,6 +219,13 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes, sha256(text) AS media_sha
          FROM documents ORDER BY doc_id""",
     "q30_cdc_replay" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    "q30b_cdc_replay_mor" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
          SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,

@@ -398,6 +398,14 @@ object lake {
       * manifest reference (zero data movement). This is the path that matters
       * at 100 TB: epoch cost scales with the batch's key spread, not with
       * table size.
+      *
+      * Ordering contract (binlog tail): epochs must be applied in LSN order —
+      * epoch e+1's events carry LSNs above epoch e's. Within a batch, order
+      * and duplication are free (max-LSN resolution); across epochs the fence
+      * enforces monotonic epoch ids, and base rows re-enter the race at
+      * lsn = -1 (they always lose to the current batch, which is exactly the
+      * in-order-tail semantics). MoR delta rows keep their true LSNs, so a
+      * mixed base/delta/batch merge resolves by real LSN where it exists.
       */
     def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
       val cur = snapshot

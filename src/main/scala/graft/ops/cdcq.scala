@@ -59,6 +59,30 @@ object cdcq {
       .orderBy(col("repo"), col("path"))
   }
 
+  /** Flagship, merge-on-read mode: epochs append per-key-winner delta files;
+    * the final read applies them (then a compaction fold is verified to be a
+    * logical no-op). Same relational oracle as the CoW replay. */
+  def replayMor(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-mor").toString
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema),
+      mode = ingest.MergeMode.MoR)
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+    }
+    changes.unpersist()
+    table.compactDeltas()
+    table.read()
+      .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("content"))
+      .orderBy(col("repo"), col("path"))
+  }
+
   /** Replay with mid-stream additive schema evolution: after half the stream,
     * the table gains a `value_cents` column; later events carry it, earlier
     * rows read back as null. Exercises evolveSchema + conform-on-read +
