@@ -55,7 +55,7 @@ object SparkEntry {
     "q28_cosine_pairs" -> ((s, d) => similarity.cosinePairs(s, d, maxQueryId = 10, threshold = 0.3)),
     "q29_ann_topk" -> ((s, d) => similarity.bruteForceTopK(s, d)),
     "q29b_ann_lsh" -> ((s, d) => similarity.annLsh(s, d)),
-    "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d)),
+    "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 1)),
     // multimodal plumbing
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end

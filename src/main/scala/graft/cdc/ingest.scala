@@ -70,7 +70,8 @@ object ingest {
       events_deduped: Long,
       events_applied: Long,
       wall_ms: Long,
-      events_per_sec: Double)
+      events_per_sec: Double,
+      content_checksum: Long = 0L) // xor-sum of sha256(content) over the batch (verify mode)
 
   final case class EpochResult(
       committed: Boolean,
@@ -107,7 +108,13 @@ object ingest {
       val lineageTable: Option[LakeTable] = None,
       val metricsTable: Option[LakeTable] = None,
       val ledger: Option[CheckpointLedger] = None,
-      val mode: MergeMode = MergeMode.CoW) {
+      val mode: MergeMode = MergeMode.CoW,
+      /** Verified replay: additionally compute sha256(content) for every event
+        * in the epoch and record an order-insensitive checksum in the metrics
+        * — the north rule's row-integrity primitive maintained continuously,
+        * so any corruption between source and lake is caught at the epoch it
+        * happens (compare against the same checksum computed source-side). */
+      val verifyChecksums: Boolean = false) {
 
     // The merge aggregation uses a TypedImperativeAggregate (MaxByRow) that
     // runs in ObjectHashAggregateExec; Spark's default sort-fallback threshold
@@ -160,13 +167,23 @@ object ingest {
         case MergeMode.MoR => table.deltaAppend(withMeta, epochId, assumeFullTouch = dense)
       }
 
+      // 5. verified-replay checksum (one CPU-bound pass over the batch)
+      val checksum: Long =
+        if (verifyChecksums && res.committed)
+          withMeta.agg(sum(crc32(sha2(col("content"), 256)))).collect()(0) match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        else 0L
+
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val applied = res.lineage.map(l => l.rows_upserted + l.rows_deleted).sum
       val eventsIn = knownInputCount.getOrElse(if (res.committed) events.count() else 0L)
       val m = EpochMetrics(epochId, eventsIn,
         events_deduped = math.max(0L, eventsIn - applied), events_applied = applied,
         wall_ms = wallMs,
-        events_per_sec = if (wallMs > 0) eventsIn * 1000.0 / wallMs else 0.0)
+        events_per_sec = if (wallMs > 0) eventsIn * 1000.0 / wallMs else 0.0,
+        content_checksum = checksum)
 
       if (res.committed) {
         val spark = table.spark
