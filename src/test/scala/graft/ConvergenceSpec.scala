@@ -69,6 +69,36 @@ class ConvergenceSpec extends SparkSuite {
     assert(r.committed && table.read().count() == 1)
   }
 
+  test("property: replay equals the oracle for randomized generator configs") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    val cfgGen = for {
+      n <- SGen.choose(2000L, 6000L)
+      keys <- SGen.choose(200L, 2000L)
+      del <- SGen.choose(0, 40)
+      epochs <- SGen.choose(1, 5)
+      buckets <- SGen.oneOf(2, 4, 8)
+    } yield (gen.GenConfig(n = n, nKeys = keys, deletePct = del, numPartitions = 4), epochs, buckets)
+    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, epochs, buckets) =>
+      val table = LakeTable.createIfNotExists(spark, tmpDir("prop"), "t",
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = buckets)
+      val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+      val all = gen.changeEvents(spark, cfg)
+      val per = (cfg.n + epochs - 1) / epochs
+      (0 until epochs).foreach { e =>
+        engine.applyEpoch(all.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      }
+      val got = table.read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      val exp = gen.oracleFinalState(cfg)
+      got.size == exp.size && exp.forall { case (k, e) =>
+        got.get(k).contains(gen.sha256Hex(e.content))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("optimistic concurrency: losing a commit race is rejected, state intact") {
     val root = tmpDir("race")
     val a = LakeTable.createIfNotExists(spark, root, "t", RepoRow.schemaV1, RepoRow.keyColumns, 4)
