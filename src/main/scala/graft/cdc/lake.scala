@@ -552,6 +552,18 @@ object lake {
       bucketsWithDeltas.size
     }
 
+    /** CDC-out: the change rows (lsn, op, payload) committed AFTER snapshot
+      * `sinceVersion`, from MoR delta files — the lake table as a change
+      * SOURCE for downstream incremental consumers. Only available while the
+      * deltas are uncompacted (CoW epochs / compaction fold them away); pair
+      * with a compaction policy that lags the downstream consumers. */
+    def changesSince(sinceVersion: Long): DataFrame = {
+      val cur = snapshot
+      val before = snapshotAt(sinceVersion).files.map(_.path).toSet
+      val newDeltas = cur.files.filter(f => f.kind == "delta" && !before(f.path))
+      readFileGroup(cur, newDeltas, withMeta = true)
+    }
+
     // ---- maintenance ------------------------------------------------------
 
     /** Time travel: read the table as of an older snapshot version. CoW never

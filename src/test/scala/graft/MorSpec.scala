@@ -60,6 +60,25 @@ class MorSpec extends SparkSuite {
     golden(table, cfg)
   }
 
+  test("CDC-out: changesSince streams the delta rows committed after a snapshot") {
+    val cfg = gen.GenConfig(n = 6000, nKeys = 1000, numPartitions = 4)
+    val table = LakeTable.createIfNotExists(spark, tmpDir("cdcout"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 3000), 0)
+    val mark = table.snapshot.version
+    engine.applyEpoch(all.filter(col("lsn") >= 3000), 1)
+    val changes = table.changesSince(mark)
+    assert(changes.columns.take(2).toSeq == Seq("lsn", "op"))
+    val lsnRange = changes.agg(min("lsn"), max("lsn")).collect()(0)
+    assert(lsnRange.getLong(0) >= 3000 && lsnRange.getLong(1) <= 5999)
+    // per-key winners of epoch 1 only
+    val dups = changes.groupBy("repo", "path").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+    assert(changes.count() > 0)
+  }
+
   test("MoR with duplicates and deletes: tombstones win until a later upsert") {
     import spark.implicits._
     val table = LakeTable.createIfNotExists(spark, tmpDir("mor-d"), "t",
