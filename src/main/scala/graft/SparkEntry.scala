@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_set_except" -> (relational.setExcept _),
     "q18_window_analytics" -> (relational.windowAnalytics _),
     "q19_date_funcs" -> (relational.dateFuncs _),
+    "q19b_rollup" -> (relational.rollupAgg _),
     // text analysis
     "q20_token_stats" -> (text.tokenStats _),
     "q21_quality_score" -> (text.qualityScore _),
@@ -153,6 +154,10 @@ object SparkEntry {
          round(sum(o_totalprice),2) AS total FROM orders
          WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 900 DAY
          GROUP BY 1,2 ORDER BY 1,2""",
+    "q19b_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q20_token_stats" ->
       """SELECT doc_id, length(text) AS n,
          length(text) - length(replace(text,' ','')) + 1 AS ws_tokens,

@@ -216,6 +216,14 @@ object relational {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("y"), col("q"))
 
+  /** Beyond the reference: ROLLUP subtotal hierarchy (returnflag -> linestatus
+    * -> grand total). Null ordering pinned explicitly for oracle parity. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Window analytics: running sum + lag (deterministic accumulation order). */
   def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
