@@ -42,6 +42,8 @@ object SparkEntry {
     "q18_window_analytics" -> (relational.windowAnalytics _),
     "q19_date_funcs" -> (relational.dateFuncs _),
     "q19b_rollup" -> (relational.rollupAgg _),
+    "q19c_json_extract" -> (relational.jsonExtract _),
+    "q19d_percentiles" -> (relational.percentiles _),
     // text analysis
     "q20_token_stats" -> (text.tokenStats _),
     "q21_quality_score" -> (text.qualityScore _),
@@ -158,6 +160,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q19c_json_extract" ->
+      """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_sum,
+         min(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_min,
+         max(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_max
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q19d_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.25),6) AS q25,
+         round(quantile_cont(value, 0.5),6) AS q50, round(quantile_cont(value, 0.75),6) AS q75
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q20_token_stats" ->
       """SELECT doc_id, length(text) AS n,
          length(text) - length(replace(text,' ','')) + 1 AS ws_tokens,

@@ -224,6 +224,28 @@ object relational {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** JSON functions (engine side uses to_json/from_json for ledgers; here the
+    * scalar extraction path): parse events.props and aggregate on the
+    * extracted field. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  /** Exact linear-interpolation percentiles per group. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q25"),
+        round(expr("percentile(value, 0.5)"), 6).as("q50"),
+        round(expr("percentile(value, 0.75)"), 6).as("q75"))
+      .orderBy(col("event_type"))
+
   /** Window analytics: running sum + lag (deterministic accumulation order). */
   def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
