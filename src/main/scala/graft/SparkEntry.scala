@@ -9,9 +9,10 @@ import graft.ops._
   * filters, joins incl. merge-as-legs, aggregations, windows, set ops, scalar
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
-  * engine itself replayed end-to-end (q30/q31). `oracleSql` carries the
-  * DuckDB-equivalent SQL for every SQL-expressible query; hash-based ops
-  * (minhash/simhash/LSH-ANN) are rows-only checked.
+  * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
+  * `oracleSql` carries the DuckDB-equivalent SQL for every SQL-expressible
+  * query (34 of 38); hash-based ops (minhash/simhash/LSH+IVF-ANN) are
+  * rows-only checked.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
