@@ -58,8 +58,12 @@ object SparkEntry {
     // similarity search
     "q28_cosine_pairs" -> ((s, d) => similarity.cosinePairs(s, d, maxQueryId = 10, threshold = 0.3)),
     "q29_ann_topk" -> ((s, d) => similarity.bruteForceTopK(s, d)),
+    // q29b/q29c run with deterministic, oracle-reproducible configs (seeded
+    // hyperplanes embedded in the oracle SQL; lloydIters=0 so centroids are
+    // exactly the first nCells vectors — Lloyd refinement is covered by
+    // OpsSpec's recall-vs-brute-force test)
     "q29b_ann_lsh" -> ((s, d) => similarity.annLsh(s, d)),
-    "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 1)),
+    "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 0)),
     // multimodal plumbing
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end
@@ -67,6 +71,97 @@ object SparkEntry {
     "q30b_cdc_replay_mor" -> (cdcq.replayMor _),
     "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
   )
+
+  // ---- generated oracle SQL for the sketch/ANN queries --------------------
+  // These queries are hash/geometry-driven, so their oracles are generated
+  // from the same parameters the Spark operators use (shared seed /
+  // deterministic sha256-derived hashes), making the sketches themselves —
+  // not just their relational shells — DuckDB-checkable.
+
+  /** q26: minhash component i of shingle s = first 16 hex chars of
+    * sha256("i:"+s); equal-length lowercase hex min == numeric min. */
+  private lazy val minhashOracleSql: String = {
+    val k = 16; val bandRows = 4
+    val mhCols = (0 until k).map(i => s"min(substr(sha256('$i:' || s),1,16)) AS mh$i").mkString(", ")
+    val bands = (0 until k / bandRows).map { b =>
+      val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, substr(sha256($cat),1,16) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k).map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(string_split(text,' '))-1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+       FROM documents),
+     mh AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+     bands AS ($bands),
+     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a
+              JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+     SELECT d1, d2, round(CAST($agree AS DOUBLE) / $k, 4) AS est_jaccard
+     FROM cand JOIN mh x ON x.doc_id = d1 JOIN mh y ON y.doc_id = d2
+     ORDER BY d1, d2"""
+  }
+
+  /** q27: 60-bit simhash from sha256-derived word hashes; bit b of the first
+    * 15 hex chars is extracted digit-wise (hex digit 15-b/4, bit b%4). */
+  private lazy val simhashOracleSql: String = {
+    val bits = 60
+    def bit(b: Int) = s"((strpos('0123456789abcdef', substr(h,${15 - b / 4},1))-1) >> ${b % 4}) & 1"
+    val votes = (0 until bits).map(b =>
+      s"sum(CASE WHEN ${bit(b)} = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val fp = (0 until bits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, substr(sha256(w),1,15) AS h FROM
+       (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) WHERE w <> ''),
+     votes AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
+     fp AS (SELECT doc_id, $fp AS simhash FROM votes),
+     chunks AS (SELECT doc_id, simhash, c, (simhash >> (c*15)) & 32767 AS v
+                FROM fp CROSS JOIN (SELECT unnest([0,1,2,3]) AS c) t),
+     pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS f1, b.simhash AS f2
+               FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+     SELECT d1, d2, CAST(bit_count(xor(f1, f2)) AS INTEGER) AS hamming
+     FROM pairs WHERE bit_count(xor(f1, f2)) <= 8 ORDER BY d1, d2"""
+  }
+
+  /** q29b: the 8 seeded Gaussian hyperplanes are embedded as literals (exact
+    * double round-trip via Double.toString), bucket = sign-bit signature. */
+  private lazy val annLshOracleSql: String = {
+    val planes = similarity.hyperplanes(8, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+     q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id < 5),
+     s AS (SELECT q.q_id, b.vec_id AS c_id, round(list_cosine_similarity(q.q_emb, b.emb),4) AS cos
+           FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.q_id)
+     SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+     WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
+  /** q29c: IVF with lloydIters=0 — centroids are exactly the first 8 vectors,
+    * assignment/probe tie-break is (cosine DESC, cell ASC) on both sides. */
+  private lazy val annIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     c AS (SELECT CAST(vec_id AS INTEGER) AS cell, emb AS centroid FROM e WHERE vec_id < 8),
+     assign AS (SELECT vec_id, emb, cell FROM (
+       SELECT e.vec_id, e.emb, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC, c.cell) AS rn
+       FROM e CROSS JOIN c) WHERE rn = 1),
+     q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+     probe AS (SELECT q_id, q_emb, cell FROM (
+       SELECT q.q_id, q.q_emb, c.cell,
+         row_number() OVER (PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(q.q_emb, c.centroid) DESC, c.cell) AS rn
+       FROM q CROSS JOIN c) WHERE rn <= 2),
+     s AS (SELECT p.q_id, a.vec_id AS c_id, round(list_cosine_similarity(p.q_emb, a.emb),4) AS cos
+           FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id)
+     SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -117,8 +212,8 @@ object SparkEntry {
          WHERE NOT (s.event_type IS NOT NULL AND s.event_type = 'error')
          ORDER BY user_id""",
     "q09_global_agg" ->
-      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+      """SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
          count(*) AS n_events, round(sum(value),2) AS total_value,
          round(avg(value),4) AS avg_value FROM events""",
     "q10_ready_by_hour" ->
@@ -162,7 +257,7 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q19c_json_extract" ->
-      """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_sum,
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract(props,'$.k') AS INTEGER)) AS BIGINT) AS k_sum,
          min(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_min,
          max(CAST(json_extract(props,'$.k') AS INTEGER)) AS k_max
          FROM events GROUP BY 1 ORDER BY 1""",
@@ -205,17 +300,23 @@ object SparkEntry {
          (SELECT doc_id, sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash FROM documents)
          GROUP BY content_hash ORDER BY doc_id""",
     "q25_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
            SELECT DISTINCT doc_id, lang,
              unnest(list_transform(range(1, len(string_split(text,' '))-1),
                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
            FROM documents),
+         keep AS (SELECT lang, s FROM sh0 GROUP BY lang, s HAVING count(*) <= 64),
+         sh AS (SELECT sh0.doc_id, sh0.lang, sh0.s FROM sh0 JOIN keep USING (lang, s)),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i FROM sh a
                    JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1,2)
          SELECT d1, d2, round(CAST(i AS DOUBLE)/(x.n + y.n - i), 6) AS jaccard
          FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
          WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8 ORDER BY d1, d2""",
+    "q26_minhash_lsh" -> minhashOracleSql,
+    "q27_simhash" -> simhashOracleSql,
+    "q29b_ann_lsh" -> annLshOracleSql,
+    "q29c_ann_ivf" -> annIvfOracleSql,
     "q28_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS q_id, b.vec_id AS c_id,

@@ -151,12 +151,13 @@ object lake {
       if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong)
       else if (Files.isDirectory(metaDir)) {
         // fallback: recover from manifest listing (pointer write crashed)
-        val vs = Files.list(metaDir).toArray.map(_.toString)
-          .flatMap { p =>
+        val s = Files.list(metaDir)
+        val vs =
+          try s.toArray.map(_.toString).flatMap { p =>
             val n = Paths.get(p).getFileName.toString
             if (n.startsWith("v") && n.endsWith(".json")) Some(n.stripPrefix("v").stripSuffix(".json").toLong)
             else None
-          }
+          } finally s.close()
         if (vs.isEmpty) None else Some(vs.max)
       } else None
     }
@@ -180,13 +181,17 @@ object lake {
       }
       val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.writeString(tmp, Serialization.write(next))
-      try Files.move(tmp, snapPath(next.version), StandardCopyOption.ATOMIC_MOVE)
+      // Claim the manifest name with fail-if-exists semantics: a hard link is
+      // atomic AND refuses an existing target on POSIX, unlike ATOMIC_MOVE
+      // (which silently replaces). Losing one of two concurrent writers is the
+      // whole point of optimistic concurrency — the loser gets a conflict.
+      try Files.createLink(snapPath(next.version), tmp)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           throw new CommitConflictException(name, next.version, e)
         case NonFatal(e) => Files.deleteIfExists(tmp); throw e
-      }
+      } finally Files.deleteIfExists(tmp)
       val ptrTmp = metaDir.resolve(s".ptr-${UUID.randomUUID()}")
       Files.writeString(ptrTmp, next.version.toString)
       Files.move(ptrTmp, metaDir.resolve("_CURRENT"),
@@ -306,9 +311,10 @@ object lake {
 
     private def listParquet(dir: Path): Seq[Path] = {
       val out = Seq.newBuilder[Path]
-      Files.walk(dir).forEach { p =>
+      val s = Files.walk(dir)
+      try s.forEach { p =>
         if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) out += p
-      }
+      } finally s.close()
       out.result()
     }
 
@@ -323,15 +329,18 @@ object lake {
 
     private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
 
-    /** Full overwrite (reference: src/models/writer.py:34-40). */
+    /** Full overwrite (reference: src/models/writer.py:34-40). An unfenced
+      * write (epochId = -1) carries the current fence FORWARD rather than
+      * regressing it — otherwise a later crash-replay of already-committed
+      * epochs would re-apply them. */
     def overwrite(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
-      val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
+      val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
       val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
       val next = next0.copy(files = files)
-      val ok = commit(next)
+      val ok = commit(next, fence = epochId >= 0)
       val lin = files.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
           fs.map(_.rows).sum, 0L, fs.size, cur.files.count(_.bucket == b), nowTs())
@@ -339,15 +348,16 @@ object lake {
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
 
-    /** Append without rewriting (reference: src/models/data_quality_evaluator.py:67-68). */
+    /** Append without rewriting (reference: src/models/data_quality_evaluator.py:67-68).
+      * Unfenced appends (epochId = -1) carry the fence forward (see overwrite). */
     def append(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
-      val next0 = cur.copy(version = cur.version + 1, epochId = epochId,
+      val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
       val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
       val next = next0.copy(files = cur.files ++ added)
-      val ok = commit(next)
+      val ok = commit(next, fence = epochId >= 0)
       val lin = added.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
           fs.map(_.rows).sum, 0L, fs.size, 0, nowTs())
@@ -559,7 +569,33 @@ object lake {
       * with a compaction policy that lags the downstream consumers. */
     def changesSince(sinceVersion: Long): DataFrame = {
       val cur = snapshot
-      val before = snapshotAt(sinceVersion).files.map(_.path).toSet
+      val before =
+        try snapshotAt(sinceVersion).files.map(_.path).toSet
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"changes since v$sinceVersion no longer available: snapshot manifest was vacuumed", e)
+        }
+      // completeness check: every delta file added in (since, current] must
+      // still be live — a CoW merge / compaction between then and now folded
+      // deltas into base files, and silently returning the survivors would be
+      // silent data loss for the downstream consumer.
+      val live = cur.files.map(_.path).toSet
+      ((sinceVersion + 1) to cur.version).foreach { v =>
+        val snapV =
+          try snapshotAt(v)
+          catch {
+            case e: java.nio.file.NoSuchFileException =>
+              throw new IllegalStateException(
+                s"changes since v$sinceVersion no longer available: intermediate snapshot v$v was vacuumed", e)
+          }
+        val folded = snapV.files.filter(f =>
+          f.kind == "delta" && !before(f.path) && !live(f.path))
+        if (folded.nonEmpty)
+          throw new IllegalStateException(
+            s"changes since v$sinceVersion no longer available: ${folded.size} delta file(s) " +
+              s"committed at v$v were compacted/merged away (schedule compaction to lag consumers)")
+      }
       val newDeltas = cur.files.filter(f => f.kind == "delta" && !before(f.path))
       readFileGroup(cur, newDeltas, withMeta = true)
     }
@@ -593,7 +629,9 @@ object lake {
       val buckets = toCompact.keySet
       val data = readBuckets(cur, Some(buckets))
       val newFiles = writeBucketed(data, cur, cur.version + 1).map { f =>
-        val olds = toCompact.getOrElse(f.bucket, Nil)
+        // exclude the -1 "unstamped" sentinel from the range fold (matches
+        // compactDeltas) so one unstamped file can't corrupt the lsn range
+        val olds = toCompact.getOrElse(f.bucket, Nil).filter(_.lsnMin >= 0)
         f.copy(lsnMin = if (olds.isEmpty) -1L else olds.map(_.lsnMin).min,
           lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
       }
@@ -622,8 +660,15 @@ object lake {
         // prune now-empty snapshot data dirs
         val ds = Files.list(dataDir)
         try ds.forEach { d =>
-          if (Files.isDirectory(d) && !Files.walk(d).anyMatch(f => Files.isRegularFile(f))) {
-            Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).forEach(x => Files.deleteIfExists(x))
+          if (Files.isDirectory(d)) {
+            val probe = Files.walk(d)
+            val empty = try !probe.anyMatch(f => Files.isRegularFile(f)) finally probe.close()
+            if (empty) {
+              val w = Files.walk(d)
+              try w.sorted(java.util.Comparator.reverseOrder[Path]())
+                .forEach(x => Files.deleteIfExists(x))
+              finally w.close()
+            }
           }
         } finally ds.close()
       }

@@ -40,9 +40,22 @@ object dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via an
-    * inverted-index self-join on shingles (never materializes all pairs). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    * inverted-index self-join on shingles (never materializes all pairs).
+    *
+    * `dfMax` is the document-frequency cut: a shingle appearing in more than
+    * `dfMax` documents is a stop-shingle ("of the and") — it contributes
+    * ~df² candidate pairs in ONE join task while carrying almost no
+    * similarity signal, which is the classic quadratic hot-key blowup at
+    * corpus scale. Such shingles are pruned from the index AND from the
+    * Jaccard sets on both sides (the oracle SQL applies the identical cut),
+    * bounding any join key's pair count at dfMax². */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      dfMax: Int = 64): DataFrame = {
+    val sh0 = shingles(spark, dir)
+    val keep = sh0.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax)
+      .select(col("lang"), col("s"))
+    val sh = sh0.join(keep, Seq("lang", "s")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
@@ -58,18 +71,27 @@ object dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** MinHash signatures (k=16 permutations via seeded xxhash64) + LSH banding
-    * (4 bands x 4 rows): near-dup candidate pairs with estimated Jaccard.
+  /** MinHash signatures (k=16 "permutations") + LSH banding (4 bands x 4
+    * rows): near-dup candidate pairs with estimated Jaccard.
     * The scale path: shingle set -> k min-hashes (one groupBy), band -> bucket
-    * join, so cost is O(docs x k) + per-bucket pair generation. */
+    * join, so cost is O(docs x k) + per-bucket pair generation.
+    *
+    * Hash choice: permutation i of shingle s is the first 16 hex chars of
+    * sha256("i:" + s) — min over equal-length lowercase hex strings orders
+    * exactly like the underlying 64-bit values, and BOTH engines (Spark and
+    * the DuckDB oracle) compute it bit-identically, which makes the whole
+    * sketch oracle-checkable. xxhash64 would be ~3x cheaper per byte at scale
+    * and is a drop-in swap; the asymptotics are identical. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 16, bandRows: Int = 4): DataFrame = {
     val sh = shingles(spark, dir)
-    val mhAggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"mh$i"))
+    val mhAggs = (0 until k).map(i =>
+      min(substring(sha2(concat(lit(s"$i:"), col("s")), 256), 1, 16)).as(s"mh$i"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
     val nBands = k / bandRows
     val bands = mh.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * bandRows until (b + 1) * bandRows).map(i => col(s"mh$i")): _*).as("sig"))
+        substring(sha2(concat_ws("|",
+          (b * bandRows until (b + 1) * bandRows).map(i => col(s"mh$i")): _*), 256), 1, 16).as("sig"))
     }: _*)).as("bb"), struct((0 until k).map(i => col(s"mh$i")): _*).as("sig_all"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.sig").as("sig"), col("sig_all"))
     val cand = bands.alias("a").join(bands.alias("b"),
@@ -86,25 +108,32 @@ object dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** 64-bit SimHash per document + near-dup pairs with Hamming distance <=
+  /** 60-bit SimHash per document + near-dup pairs with Hamming distance <=
     * `maxHamming`, candidate-generated by banding the fingerprint into 4
-    * 16-bit chunks (pigeonhole: any pair at distance <=3 shares a chunk;
-    * wider distances may be missed — standard SimHash LSH trade-off). */
+    * 15-bit chunks (pigeonhole: any pair at distance <=3 shares a chunk;
+    * wider distances may be missed — standard SimHash LSH trade-off).
+    *
+    * Token hash: the first 15 hex chars (60 bits) of sha256(word), so the
+    * DuckDB oracle reproduces the fingerprint bit-for-bit (60 not 64 bits so
+    * the value fits a signed BIGINT in both engines; xxhash64 is the cheaper
+    * non-oracle-checkable drop-in at scale). */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val bits = 60
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(sha2(col("w"), 256), 1, 15), 16, 10).cast("long").as("h"))
     // per-bit vote: +1 if bit set else -1, summed per doc
-    val voteAggs = (0 until 64).map(b =>
+    val voteAggs = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val fp = (0 until 64).map(b =>
+    val fp = (0 until bits).map(b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ bitwiseOR _)
     val sim = votes.select(col("doc_id"), fp.as("simhash")).cache()
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("ch"))
+        struct(lit(c).as("c"), shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("v"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     val pairs = chunks.alias("a").join(chunks.alias("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))

@@ -70,56 +70,65 @@ object similarity {
     }.reduce(_ bitwiseOR _)
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer (deterministic seed
-    * centroids + Lloyd iterations, all as DataFrame aggregations), corpus
-    * assigned to its nearest centroid's cell, queries probe the `nprobe`
-    * nearest cells and rescore exactly. The scale path: assignment is one
-    * narrow pass; search touches corpus/k * nprobe vectors per query. */
+    * centroids + optional Lloyd iterations), corpus assigned to its nearest
+    * centroid's cell, queries probe the `nprobe` nearest cells and rescore
+    * exactly.
+    *
+    * Scale design: the centroids are DATA (a tiny broadcast DataFrame), never
+    * expression-tree literals — assignment is `corpus crossJoin broadcast(
+    * centroids)` followed by a `max_by` per vector, so the physical plan is
+    * CONSTANT-SIZE no matter how many cells (1k–64k at production scale; the
+    * round-1 literal-inlining variant grew codegen linearly with nCells and
+    * was 40% of the whole bench). Search touches corpus/k * nprobe vectors
+    * per query. */
   def annIvf(spark: SparkSession, dir: String, maxQueryId: Int = 5, k: Int = 3,
-      nCells: Int = 8, nprobe: Int = 2, lloydIters: Int = 2): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("emb")).cache()
+      nCells: Int = 8, nprobe: Int = 2, lloydIters: Int = 0): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+
+    // nearest-centroid assignment as a broadcast join + argmax aggregation;
+    // ties break to the lowest cell id (deterministic, oracle-matched)
+    def assign(v: DataFrame, cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("emb")).as("emb"),
+          max_by(col("cell"),
+            struct(cosine(col("emb"), col("centroid")).as("c"), (-col("cell")).as("t"))).as("cell"))
 
     // deterministic init: the first nCells vectors seed the centroids
-    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < nCells)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    var centroids: DataFrame = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("emb").as("centroid"))
 
-    def nearestCell(embCol: Column, cs: Array[Array[Double]]): Column =
-      cs.zipWithIndex.map { case (c, i) =>
-        struct(cosine(embCol, array(c.map(lit): _*)).as("cos"), lit(i).as("cell"))
-      }.reduce((a, b) => when(a.getField("cos") >= b.getField("cos"), a).otherwise(b))
-        .getField("cell")
-
-    // Lloyd: assign -> elementwise mean per cell (posexplode + groupBy)
+    // Lloyd step: elementwise mean per cell, also pure DataFrame ops —
+    // centroid count stays data, not code
     (0 until lloydIters).foreach { _ =>
-      val assigned = e.withColumn("cell", nearestCell(col("emb"), centroids))
-      val means = assigned
+      centroids = assign(e, centroids)
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
+    centroids = centroids.cache()
 
-    val corpus = e.withColumn("cell", nearestCell(col("emb"), centroids))
-    // queries probe the nprobe nearest cells
-    val cellScores = (0 until centroids.length).map(i =>
-      struct(cosine(col("q_emb"), array(centroids(i).map(lit): _*)).as("cos"), lit(i).as("cell")))
+    val corpus = assign(e, centroids)
+    // queries probe the nprobe nearest cells (rank over the tiny q x cells set)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("cell"))
     val q = e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .withColumn("probe_cells", slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
-      .select(col("q_id"), col("q_emb"), explode(col("probe_cells")).as("pc"))
-      .select(col("q_id"), col("q_emb"), col("pc.cell").as("cell"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("pcos"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    // each corpus vector lives in exactly one cell and probe cells are
+    // distinct per query, so (q_id, c_id) pairs are already unique
     val scored = broadcast(q).join(corpus, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
-      .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    val out = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
-    e.unpersist()
-    out
   }
 
   /** LSH-bucketed ANN: bucket corpus by 8-bit hyperplane signature, search
