@@ -78,11 +78,12 @@ object SparkEntry {
   // deterministic sha256-derived hashes), making the sketches themselves —
   // not just their relational shells — DuckDB-checkable.
 
-  /** q26: minhash component i of shingle s = first 16 hex chars of
-    * sha256("i:"+s); equal-length lowercase hex min == numeric min. */
+  /** q26: minhash component c of shingle s = 16-hex-char slice c%4 of
+    * sha256("c/4:"+s); equal-length lowercase hex min == numeric min. */
   private lazy val minhashOracleSql: String = {
     val k = 16; val bandRows = 4
-    val mhCols = (0 until k).map(i => s"min(substr(sha256('$i:' || s),1,16)) AS mh$i").mkString(", ")
+    val mhCols = (0 until k).map(c =>
+      s"min(substr(sha256('${c / 4}:' || s),${1 + 16 * (c % 4)},16)) AS mh$c").mkString(", ")
     val bands = (0 until k / bandRows).map { b =>
       val cat = (b * bandRows until (b + 1) * bandRows).map(i => s"mh$i").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, substr(sha256($cat),1,16) AS sig FROM mh"

@@ -29,15 +29,27 @@ object dedup {
       .select(col("doc_id"), col("dup_count"), col("content_hash"))
       .orderBy(col("doc_id"))
 
-  /** Distinct word-trigram shingles per document: (doc_id, lang, shingle). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Raw word-trigram shingles per document (duplicates kept — consumers
+    * dedup via set aggregation or duplicate-insensitive min). */
+  private def rawShingles(spark: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
     docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(ws) - 2), i =>
           concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))).as("s"))
-      .distinct()
   }
+
+  /** Inverted index: (lang, shingle) -> sorted-set posting list of doc_ids.
+    * ONE wide shuffle builds it; it is cached and its logical plan is shared
+    * by ngramJaccard and minhashLsh, so the CacheManager computes it once per
+    * corpus. At scale this replaces any shingle self-join: candidate pairs
+    * come from exploding per-shingle posting-list combinations, whose cost is
+    * bounded by the document-frequency cut, never by corpus size. */
+  private def shinglePosts(spark: SparkSession, dir: String): DataFrame =
+    rawShingles(spark, dir)
+      .groupBy(col("lang"), col("s"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .cache()
 
   /** Exact n-gram Jaccard near-dup pairs >= `threshold`, via an
     * inverted-index self-join on shingles (never materializes all pairs).
@@ -51,17 +63,19 @@ object dedup {
     * bounding any join key's pair count at dfMax². */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8,
       dfMax: Int = 64): DataFrame = {
-    val sh0 = shingles(spark, dir)
-    val keep = sh0.groupBy(col("lang"), col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax)
-      .select(col("lang"), col("s"))
-    val sh = sh0.join(keep, Seq("lang", "s")).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a").join(sh.alias("b"),
-        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
+    val posts = shinglePosts(spark, dir).filter(size(col("ds")) <= dfMax)
+    // distinct-shingle count per doc over the pruned index
+    val sizes = posts.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // candidate pairs straight from posting-list combinations (d1 < d2):
+    // per-shingle cost is |ds|² <= dfMax², independent of corpus size
+    val sorted = array_sort(col("ds"))
+    val pairs = posts.filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val inter = pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.alias("x"), col("d1") === col("x.doc_id"))
       .join(sizes.alias("y"), col("d2") === col("y.doc_id"))
@@ -76,16 +90,20 @@ object dedup {
     * The scale path: shingle set -> k min-hashes (one groupBy), band -> bucket
     * join, so cost is O(docs x k) + per-bucket pair generation.
     *
-    * Hash choice: permutation i of shingle s is the first 16 hex chars of
-    * sha256("i:" + s) — min over equal-length lowercase hex strings orders
-    * exactly like the underlying 64-bit values, and BOTH engines (Spark and
-    * the DuckDB oracle) compute it bit-identically, which makes the whole
-    * sketch oracle-checkable. xxhash64 would be ~3x cheaper per byte at scale
-    * and is a drop-in swap; the asymptotics are identical. */
+    * Hash choice: component c is a 16-hex-char (64-bit) slice of
+    * sha256("<c/4>:" + s) — one sha256 yields FOUR independent components
+    * (distinct bit ranges of the digest), so k=16 costs 4 hash calls per
+    * shingle, and min over equal-length lowercase hex strings orders exactly
+    * like the underlying 64-bit values. BOTH engines (Spark and the DuckDB
+    * oracle) compute it bit-identically, making the whole sketch
+    * oracle-checkable. xxhash64 would be cheaper per byte at scale and is a
+    * drop-in swap; the asymptotics are identical. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 16, bandRows: Int = 4): DataFrame = {
-    val sh = shingles(spark, dir)
-    val mhAggs = (0 until k).map(i =>
-      min(substring(sha2(concat(lit(s"$i:"), col("s")), 256), 1, 16)).as(s"mh$i"))
+    // distinct (shingle, doc) pairs straight from the shared inverted index
+    // (no df cut here — minhash sketches the FULL shingle set)
+    val sh = shinglePosts(spark, dir).select(col("s"), explode(col("ds")).as("doc_id"))
+    val mhAggs = (0 until k).map(c =>
+      min(substring(sha2(concat(lit(s"${c / 4}:"), col("s")), 256), 1 + 16 * (c % 4), 16)).as(s"mh$c"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
     val nBands = k / bandRows
     val bands = mh.select(col("doc_id"), explode(array((0 until nBands).map { b =>

@@ -26,6 +26,41 @@ class OpsSpec extends SparkSuite {
     assert(truth.subsetOf(cand), s"missed: ${truth -- cand}")
   }
 
+  test("ngramJaccard df-cut bounds the pair blowup on a stop-shingle corpus") {
+    // pathological corpus: every doc shares one hot phrase; without the
+    // document-frequency cut the hot shingles alone generate ~n²/2 pairs
+    val n = 200
+    val dir = tmpDir("stop-shingle")
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, "en",
+        s"the quick brown fox jumps over unique$i token$i word$i"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = dedup.ngramJaccard(spark, dir, threshold = 0.0, dfMax = 64)
+    // hot shingles ("the quick brown" etc., df=200 > 64) are pruned, so the
+    // only surviving pairs come from shingles with df <= 64 — here none are
+    // shared, so no pair survives (vs 19,900 all-pairs without the cut)
+    assert(out.count() == 0)
+    // and a genuinely shared low-df shingle still yields its pair
+    (0 until n).map(i => (i.toLong, "en",
+        s"${if (i < 2) "shared low df phrase here" else s"only$i in$i this$i doc$i x$i"} tail$i"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out2 = dedup.ngramJaccard(spark, dir, threshold = 0.5, dfMax = 64)
+    assert(out2.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("IVF ANN probing every cell with Lloyd refinement equals brute force") {
+    val bf = similarity.bruteForceTopK(spark, sf, maxQueryId = 5, k = 3)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ivf = similarity.annIvf(spark, sf, maxQueryId = 5, k = 3,
+        nCells = 8, nprobe = 8, lloydIters = 2)
+      .select("q_id", "rank", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ivf == bf, "probing all cells must recover the exact top-k")
+  }
+
   test("simhash near-dup pairs overlap trigram near-dups") {
     val sh = dedup.simhash(spark, sf).collect()
     assert(sh.nonEmpty)
