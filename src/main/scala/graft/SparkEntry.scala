@@ -67,6 +67,9 @@ object SparkEntry {
     // multimodal plumbing
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end
+    "q32_dq_audit" -> (cdcq.dqAudit _),
+    "q34_slo_timeliness" -> (cdcq.sloTimeliness _),
+    "q35_slo_quality" -> (cdcq.sloQuality _),
     "q30_cdc_replay" -> (cdcq.replay _),
     "q30b_cdc_replay_mor" -> (cdcq.replayMor _),
     "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
@@ -337,6 +340,31 @@ object SparkEntry {
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          octet_length(encode(text)) AS n_bytes, sha256(text) AS media_sha
          FROM documents ORDER BY doc_id""",
+    "q32_dq_audit" ->
+      """WITH f AS (SELECT event_id // ((SELECT (max(event_id)+4)//4 FROM events) ) AS job_id,
+                    event_type, value FROM events WHERE event_type <> 'error'),
+         w1 AS (SELECT job_id, 'warn' AS criticality, 'is_in_list' AS check_name,
+                       'lang' AS col_name, count(*) AS failed_rows
+                FROM f WHERE event_type NOT IN ('click','view') GROUP BY 1),
+         w2 AS (SELECT job_id, 'warn' AS criticality, 'min_value' AS check_name,
+                       'value' AS col_name, count(*) AS failed_rows
+                FROM f WHERE value < 1.0 GROUP BY 1)
+         SELECT * FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         ORDER BY job_id, check_name""",
+    "q34_slo_timeliness" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type AS job_name,
+         max(CASE WHEN hour(ts) < 9 THEN 1 ELSE 0 END) = 1 AS ready_by_09
+         FROM events WHERE value >= 1.0 GROUP BY 1,2 ORDER BY 1,2""",
+    "q35_slo_quality" ->
+      """WITH f AS (SELECT event_id // ((SELECT (max(event_id)+4)//4 FROM events)) AS job_id,
+                    event_type, value FROM events WHERE event_type <> 'error'),
+         w1 AS (SELECT job_id, count(*) AS fr FROM f WHERE event_type NOT IN ('click','view') GROUP BY 1),
+         w2 AS (SELECT job_id, count(*) AS fr FROM f WHERE value < 1.0 GROUP BY 1),
+         u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         SELECT job_id AS run_id, CAST(0 AS BIGINT) AS error_count,
+                CAST(count(*) AS BIGINT) AS warning_count,
+                CAST(0 AS BIGINT) AS error_rows, CAST(sum(fr) AS BIGINT) AS warn_rows
+         FROM u GROUP BY 1 ORDER BY 1""",
     "q30_cdc_replay" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

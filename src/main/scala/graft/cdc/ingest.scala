@@ -108,6 +108,13 @@ object ingest {
       val lineageTable: Option[LakeTable] = None,
       val metricsTable: Option[LakeTable] = None,
       val ledger: Option[CheckpointLedger] = None,
+      /** Persistent `data_quality_checks` audit lake table: every epoch's
+        * warn AND error failures are appended (errors BEFORE the abort, like
+        * the reference's _handle_errors, data_quality_evaluator.py:88-93). */
+      val auditTable: Option[LakeTable] = None,
+      /** Row-level quarantine lake table: rows failing any check are appended
+        * with their failure annotations serialized as JSON. */
+      val quarantineTable: Option[LakeTable] = None,
       val mode: MergeMode = MergeMode.CoW,
       /** Verified replay: additionally compute sha256(content) for every event
         * in the epoch and record an order-insensitive checksum in the metrics
@@ -154,8 +161,29 @@ object ingest {
       }
 
       // 2. quality gate (errors abort the epoch pre-commit; the atomic commit
-      //    means an aborted epoch leaves no partial state)
-      gate.foreach(_.check(withMeta.where(col("op") =!= "D")))
+      //    means an aborted epoch leaves no partial state). With an audit
+      //    table attached, warn+error summaries are appended FIRST — errors
+      //    are persisted before the abort, reference-style — and quarantined
+      //    rows are persisted when a quarantine table is attached.
+      gate.foreach { g =>
+        val gated = withMeta.where(col("op") =!= "D")
+        val failures = g.evaluate(gated)
+        if (failures.nonEmpty) {
+          auditTable.foreach { at =>
+            at.append(quality.DataQualityChecks.auditRows(
+              table.spark, failures, table.name, jobId = epochId, runId = epochId))
+          }
+          quarantineTable.foreach { qt =>
+            val quarantine = g.split(gated).quarantine
+              .withColumn("epoch", lit(epochId))
+              .withColumn("_warnings", to_json(col("_warnings")))
+              .withColumn("_errors", to_json(col("_errors")))
+            qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*))
+          }
+        }
+        val errors = failures.filter(_.criticality == "error")
+        if (errors.nonEmpty) throw new quality.QualityGateError(errors)
+      }
 
       // 3.+4. copy-on-write merge with the per-key max-LSN dedup FUSED into
       //    the merge aggregation (one wide shuffle; see LakeTable.merge),

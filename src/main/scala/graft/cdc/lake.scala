@@ -379,6 +379,37 @@ object lake {
       snapshot
     }
 
+    /** Metadata-only commit: merge table properties into the next snapshot
+      * (reference: SetTableProperties DDL, src/delta_engine/execute/ddl.py). */
+    def setProperties(ps: Map[String, String]): Snapshot = {
+      val cur = snapshot
+      val next = cur.copy(version = cur.version + 1, properties = cur.properties ++ ps)
+      require(commit(next, fence = false), "setProperties commit failed")
+      snapshot
+    }
+
+    /** Metadata-only schema amendment IN PLACE of the current schema version:
+      * column names and types must be unchanged; nullability may only loosen;
+      * comments are free. Used for SetColumnComments / DROP NOT NULL actions —
+      * physical file schemas are unaffected, so no new schema version is cut
+      * (contrast [[evolveSchema]], which adds a version). */
+    def amendSchema(next: StructType): Snapshot = {
+      val cur = snapshot
+      val prev = cur.schema
+      require(prev.fields.map(_.name).toSeq == next.fields.map(_.name).toSeq,
+        "amendSchema cannot add/drop/rename columns — use evolveSchema")
+      prev.fields.zip(next.fields).foreach { case (p, n) =>
+        require(p.dataType == n.dataType,
+          s"amendSchema cannot change types ('${p.name}') — use evolveSchema")
+        require(!(p.nullable && !n.nullable),
+          s"amendSchema cannot tighten '${p.name}' to NOT NULL")
+      }
+      val ns = cur.copy(version = cur.version + 1,
+        schemas = cur.schemas + (cur.schemaVersion.toString -> next.json))
+      require(commit(ns, fence = false), "amendSchema commit failed")
+      snapshot
+    }
+
     /** Copy-on-write MERGE keyed on the table's key columns — the CDC-apply
       * kernel (reference contract: whenMatchedUpdateAll / whenNotMatchedInsertAll,
       * /root/reference/src/models/writer.py:42-67, plus a delete extension).

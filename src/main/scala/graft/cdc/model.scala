@@ -66,6 +66,52 @@ object model {
     val keyColumns: Seq[String] = Seq("repo", "path")
   }
 
+  /** Foreign-key reference to another table's column — metadata-only lineage
+    * edge in our engine (reference: src/models/column.py:13-41; no catalog to
+    * enforce it, so it feeds the lineage/edges metadata table). */
+  final case class ForeignKey(referenceTable: String, referenceColumn: String)
+
+  /** One resolved FK lineage edge (reference ForeignKey.to_spec,
+    * src/models/column.py:20-41). */
+  final case class FkEdge(
+      constraint_name: String,
+      source_table: String,
+      source_column: String,
+      reference_table: String,
+      reference_column: String)
+
+  /** Deterministic, length-bounded identifier naming (reference:
+    * src/delta_engine/constraints/naming.py:32-61, src/models/utils.py:4-20).
+    * The disambiguation hash is sha256-truncated-to-8-hex rather than the
+    * reference's BLAKE2b (no BLAKE2b in the JDK); same determinism contract:
+    * same inputs -> same name, always <= maxIdentifierLen. */
+  object naming {
+    val maxIdentifierLen = 128
+
+    def shortHash(parts: String*): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(parts.mkString("|").getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+
+    def truncateWithHash(base: String, maxLen: Int = maxIdentifierLen): String = {
+      if (base.length <= maxLen) return base
+      val h = shortHash(base)
+      if (maxLen <= h.length) return h.take(maxLen)
+      val keep = maxLen - 1 - h.length
+      if (keep <= 0) base.take(maxLen - h.length) + h
+      else base.take(keep) + "_" + h
+    }
+
+    /** pk_<table>__<col1>_<col2>... (order-preserving, truncated+hashed). */
+    def primaryKeyName(table: String, columns: Seq[String]): String =
+      truncateWithHash(s"pk_${table}__${columns.mkString("_")}")
+
+    /** fk_<table>_<column>_to_<refTable>_<refColumn>. */
+    def foreignKeyName(table: String, column: String, refTable: String, refColumn: String): String =
+      truncateWithHash(s"fk_${table}_${column}_to_${refTable}_$refColumn")
+  }
+
   /** Column-level data-quality rule (reference: src/models/column.py:44-51). */
   final case class QualityRule(
       criticality: Criticality,
@@ -86,7 +132,8 @@ object model {
       nullable: Boolean = true,
       comment: String = "",
       isPrimaryKey: Boolean = false,
-      qualityRule: Option[QualityRule] = None) {
+      qualityRule: Option[QualityRule] = None,
+      foreignKey: Option[ForeignKey] = None) {
     def structField: StructField = {
       val f = StructField(name, dataType, nullable)
       if (comment.nonEmpty) f.withComment(comment) else f
@@ -103,6 +150,12 @@ object model {
     def schema: StructType = StructType(columns.map(_.structField))
     def columnNames: Seq[String] = columns.map(_.name)
     def primaryKey: Seq[String] = columns.filter(_.isPrimaryKey).map(_.name)
+    /** Resolved FK lineage edges with deterministic constraint names. */
+    def foreignKeyEdges: Seq[FkEdge] = columns.flatMap { c =>
+      c.foreignKey.map(fk => FkEdge(
+        naming.foreignKeyName(name, c.name, fk.referenceTable, fk.referenceColumn),
+        name, c.name, fk.referenceTable, fk.referenceColumn))
+    }
     require(columns.map(_.name.toLowerCase).distinct.size == columns.size,
       s"duplicate column names in table $name")
   }
@@ -125,5 +178,6 @@ object model {
       exists: Boolean,
       schema: StructType,
       primaryKey: Seq[String],
-      properties: Map[String, String])
+      properties: Map[String, String],
+      tableComment: String = "")
 }

@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.cdc.model._
 
@@ -49,29 +50,111 @@ object quality {
     }
   }
 
-  final class QualityGate(checks: Seq[Check]) {
-    /** Evaluate all checks in one job; returns all failures (warn + error),
-      * throws [[QualityGateError]] if any error-level check fired. */
-    def check(df: DataFrame): Seq[CheckFailure] = {
+  /** Row-level quarantine split (reference DQX `apply_checks_and_split`,
+    * /root/reference/src/models/data_quality_evaluator.py:52-65):
+    * `pass` = rows with no error-level failure (warn-only rows pass through,
+    * annotated); `quarantine` = rows with ANY failure, carrying `_warnings`
+    * and `_errors` arrays of failure structs for the audit trail. */
+  final case class SplitResult(pass: DataFrame, quarantine: DataFrame)
+
+  final class QualityGate(val checks: Seq[Check]) {
+    private def crit(c: Check): String =
+      c.criticality match { case Criticality.Error => "error"; case Criticality.Warn => "warn" }
+
+    /** Evaluate all checks in ONE aggregate job; returns every failure
+      * (warn + error) WITHOUT throwing — callers decide (and can persist the
+      * audit rows before aborting, like the reference's _handle_errors). */
+    def evaluate(df: DataFrame): Seq[CheckFailure] = {
       if (checks.isEmpty) return Nil
       val aggs = checks.zipWithIndex.map { case (c, i) =>
         sum(when(c.violation, 1L).otherwise(0L)).as(s"c$i")
       }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val failures = checks.zipWithIndex.flatMap { case (c, i) =>
+      checks.zipWithIndex.flatMap { case (c, i) =>
         val n = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (n > 0) Some(CheckFailure(c.name, c.column,
-          c.criticality match { case Criticality.Error => "error"; case Criticality.Warn => "warn" }, n))
-        else None
+        if (n > 0) Some(CheckFailure(c.name, c.column, crit(c), n)) else None
       }
+    }
+
+    /** Evaluate and throw [[QualityGateError]] if any error-level check fired. */
+    def check(df: DataFrame): Seq[CheckFailure] = {
+      val failures = evaluate(df)
       val errors = failures.filter(_.criticality == "error")
       if (errors.nonEmpty) throw new QualityGateError(errors)
       failures
+    }
+
+    /** Annotate each row with its failures, then split (one pass, pure
+      * projections — no shuffle; the two outputs share the annotated plan). */
+    def split(df: DataFrame): SplitResult = {
+      def failuresOf(level: Criticality): Column = {
+        val hits = checks.filter(_.criticality == level).map { c =>
+          when(c.violation, struct(
+            lit(c.name).as("name"),
+            array(lit(c.column)).as("columns"),
+            lit(s"${c.name}(${c.column})").as("function")))
+        }
+        if (hits.isEmpty) array().cast(ArrayType(failureStructType))
+        else array_compact(array(hits: _*))
+      }
+      val annotated = df
+        .withColumn("_warnings", failuresOf(Criticality.Warn))
+        .withColumn("_errors", failuresOf(Criticality.Error))
+      SplitResult(
+        pass = annotated.filter(size(col("_errors")) === 0).drop("_warnings", "_errors"),
+        quarantine = annotated.filter(size(col("_errors")) > 0 || size(col("_warnings")) > 0))
     }
 
     /** Duplicate-PK detector (reference DQX `is_unique`,
       * /root/reference/src/models/data_quality_table.py:51-58). */
     def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
       df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+  }
+
+  private val failureStructType: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("columns", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("function", StringType, nullable = false)))
+
+  /** The persistent `data_quality_checks` audit table (reference:
+    * /root/reference/src/metadata/data_quality/data_quality_checks.py:16-32),
+    * extended with `failed_rows` so SLO jobs can aggregate violation volume. */
+  object DataQualityChecks {
+    val tableName = "data_quality_checks"
+
+    val schema: StructType = StructType(Seq(
+      StructField("date", DateType, nullable = false),
+      StructField("criticality", StringType, nullable = false),
+      StructField("table_name", StringType, nullable = false),
+      StructField("check_name", StringType, nullable = false),
+      StructField("columns", ArrayType(StringType), nullable = false),
+      StructField("function", StringType, nullable = false),
+      StructField("failed_rows", LongType, nullable = false),
+      StructField("run_time", TimestampType, nullable = false),
+      StructField("job_id", LongType, nullable = false),
+      StructField("run_id", LongType, nullable = false)))
+
+    val tableDef: TableDef = TableDef(tableName,
+      ColumnDef.fromSchema(schema), comment = "Audit log of data quality check results",
+      numBuckets = 4)
+
+    /** Audit rows for one evaluation (reference _add_metadata_columns,
+      * data_quality_evaluator.py:70-79; job_id/run_id = epoch in our engine). */
+    def auditRows(spark: org.apache.spark.sql.SparkSession, failures: Seq[CheckFailure],
+        tableName: String, jobId: Long, runId: Long): DataFrame = {
+      import spark.implicits._
+      failures.toDF()
+        .select(
+          current_date().as("date"),
+          col("criticality"),
+          lit(tableName).as("table_name"),
+          col("check_name"),
+          array(col("column")).as("columns"),
+          concat(col("check_name"), lit("("), col("column"), lit(")")).as("function"),
+          col("failed_rows"),
+          current_timestamp().as("run_time"),
+          lit(jobId).as("job_id"),
+          lit(runId).as("run_id"))
+    }
   }
 }

@@ -83,6 +83,90 @@ object cdcq {
       .orderBy(col("repo"), col("path"))
   }
 
+  /** Replay with a quality gate + persistent data_quality_checks audit table
+    * (the reference's flagship DQ behavior, data_quality_evaluator.py:56-93):
+    * two warn-level rules are seeded to fire (lang outside {click,view};
+    * value < 1.0), error-level not-null PK rules stay clean, and every
+    * epoch's failure summaries are appended to the audit lake table. Returns
+    * the audit table's deterministic columns, which DuckDB re-derives from
+    * the raw events. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val audit = dqReplayAudit(spark, dir)
+    audit.read()
+      .select(col("job_id"), col("criticality"), col("check_name"),
+        col("columns").getItem(0).as("col_name"), col("failed_rows"))
+      .orderBy(col("job_id"), col("check_name"))
+  }
+
+  /** Replay with seeded warn violations; returns the populated audit table. */
+  private def dqReplayAudit(spark: SparkSession, dir: String): LakeTable = {
+    import graft.cdc.model._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val changes = asChanges(spark, dir)
+      .join(ev.select(col("event_id").as("lsn"), col("value")), Seq("lsn"))
+      .cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val schema = StructType(tableSchema.fields :+ StructField("value", DoubleType))
+    val cols = Seq(
+      ColumnDef("repo", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("path", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("commit_id", StringType),
+      ColumnDef("lang", StringType, qualityRule =
+        Some(QualityRule(Criticality.Warn, allowedValues = Some(Seq("click", "view"))))),
+      ColumnDef("content", StringType),
+      ColumnDef("value", DoubleType, qualityRule =
+        Some(QualityRule(Criticality.Warn, minValue = Some(1.0)))))
+    val gate = new quality.QualityGate(quality.Check.fromColumns(cols))
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-dq").toString
+    val table = LakeTable.createIfNotExists(spark, s"$root/t", "repo_files",
+      schema, Seq("repo", "path"), numBuckets = 16)
+    val audit = LakeTable.createIfNotExists(spark, s"$root/dq", quality.DataQualityChecks.tableName,
+      quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(schema),
+      gate = Some(gate), auditTable = Some(audit))
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+    }
+    changes.unpersist()
+    audit
+  }
+
+  /** Timeliness SLO job (reference src/metadata/slo/timeliness.py): events
+    * stand in for job runs (job = event_type, period_end_time = ts, run
+    * succeeded iff value >= 1). Derives per-(day, job) ready_by_09 and
+    * MERGEs it into the timeliness SLO lake table; returns the table state. */
+  def sloTimeliness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.slo._
+    val runs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("ts").as("period_end_time"), col("event_type").as("job_name"),
+        when(col("value") >= 1.0, "SUCCEEDED").otherwise("FAILED").as("result_state"))
+    val root = java.nio.file.Files.createTempDirectory("graft-slo-t").toString
+    val table = LakeTable.createIfNotExists(spark, root, "timeliness",
+      TimelinessSlo.schema, TimelinessSlo.keyColumns, numBuckets = 4)
+    TimelinessSlo.upsert(table, TimelinessSlo.derive(runs), epochId = 0)
+    // date rendered ISO for the cross-engine compare (parquet date32 vs
+    // DuckDB DATE deserialize differently driver-side)
+    table.read()
+      .select(col("date").cast("string").as("date"), col("job_name"), col("ready_by_09"))
+      .orderBy(col("date"), col("job_name"))
+  }
+
+  /** Quality SLO job (reference src/metadata/slo/quality.py): aggregates the
+    * data_quality_checks audit log produced by the gated replay into
+    * per-run failure counts, MERGEd into the quality SLO lake table. */
+  def sloQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.slo._
+    val audit = dqReplayAudit(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-slo-q").toString
+    val table = LakeTable.createIfNotExists(spark, root, "quality",
+      QualitySlo.schema, QualitySlo.keyColumns, numBuckets = 4)
+    QualitySlo.upsert(table, QualitySlo.derive(audit.read()), epochId = 0)
+    table.read().orderBy(col("run_id"))
+  }
+
   /** Replay with mid-stream additive schema evolution: after half the stream,
     * the table gains a `value_cents` column; later events carry it, earlier
     * rows read back as null. Exercises evolveSchema + conform-on-read +

@@ -35,7 +35,8 @@ class MedallionSpec extends SparkSuite {
       ColumnDef("lang", StringType), ColumnDef("source", StringType),
       ColumnDef("n_chars", LongType)))
     val silverDef = TableDef("silver_documents", Seq(
-      ColumnDef("doc_id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("doc_id", LongType, nullable = false, isPrimaryKey = true,
+        foreignKey = Some(ForeignKey("bronze_documents", "doc_id"))),
       ColumnDef("lang", StringType, qualityRule =
         Some(QualityRule(Criticality.Error, allowedValues = Some(Seq("en", "de", "fr", "es", "zh"))))),
       ColumnDef("source", StringType),
@@ -45,14 +46,27 @@ class MedallionSpec extends SparkSuite {
       ColumnDef("lang", StringType, nullable = false, isPrimaryKey = true),
       ColumnDef("n_docs", LongType), ColumnDef("total_chars", LongType)))
     val desired = Seq(bronzeDef, silverDef, goldDef)
-    Validator.validateModels(desired)
-    val observed = desired.map(d => StateReader.read(spark, wh, d.name))
-    val p = Planner.plan(desired, observed)
-    Validator.validatePlan(p, observed)
-    Executor.apply(spark, wh, p)
-    // idempotency: re-plan after execute is empty
-    val p2 = Planner.plan(desired, desired.map(d => StateReader.read(spark, wh, d.name)))
-    assert(p2.isEmpty, s"re-plan should be empty, got $p2")
+    val p = DdlRunner.ensureAll(spark, wh, desired) // snapshot->plan->validate->execute
+    assert(p.creates.size == 3)
+    // idempotency: re-sync after execute plans nothing
+    assert(DdlRunner.ensureAll(spark, wh, desired).isEmpty)
+
+    // --- FK lineage edges surfaced as a metadata lake table
+    val edgesSchema = StructType(Seq(
+      StructField("constraint_name", StringType, nullable = false),
+      StructField("source_table", StringType, nullable = false),
+      StructField("source_column", StringType, nullable = false),
+      StructField("reference_table", StringType, nullable = false),
+      StructField("reference_column", StringType, nullable = false)))
+    val edgesTable = LakeTable.createIfNotExists(spark, s"$wh/lineage_edges", "lineage_edges",
+      edgesSchema, Seq("constraint_name"), numBuckets = 4)
+    import spark.implicits._
+    edgesTable.overwrite(DdlRunner.lineageEdges(desired).toDF())
+    val edges = edgesTable.read().collect()
+    assert(edges.length == 1)
+    assert(edges(0).getAs[String]("constraint_name") ==
+      "fk_silver_documents_doc_id_to_bronze_documents_doc_id")
+    assert(edges(0).getAs[String]("reference_table") == "bronze_documents")
 
     // --- bronze load (overwrite, schema conformance by cast)
     val bronze = LakeTable.load(spark, s"$wh/bronze_documents", "bronze_documents")

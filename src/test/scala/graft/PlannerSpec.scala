@@ -58,6 +58,122 @@ class PlannerSpec extends SparkSuite {
     intercept[InvalidModelError] { Validator.validateModels(Seq(ok, ok)) }
   }
 
+  test("diff represents non-additive changes (drop / tighten / PK change); validator refuses them") {
+    // reference analog: tests/delta_engine/validation/test_rules.py:81-388 —
+    // the planner must REPRESENT unsafe changes so validation can refuse them
+    val observed = stateOf(TableDef("t1", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("legacy", StringType),
+      ColumnDef("opt", StringType, nullable = true))))
+    // drop: 'legacy' missing from the desired model
+    val dropDesired = TableDef("t1", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("opt", StringType, nullable = true)))
+    val dropPlan = Planner.plan(Seq(dropDesired), Seq(observed))
+    assert(dropPlan.aligns.head.actions.contains(DropColumn("t1", "legacy")))
+    val eDrop = intercept[UnsafePlanError] { Validator.validatePlan(dropPlan, Seq(observed)) }
+    assert(eDrop.getMessage.contains("NoDropColumns") && eDrop.getMessage.contains("legacy"))
+    // tighten: opt becomes NOT NULL
+    val tightenDesired = TableDef("t1", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("legacy", StringType),
+      ColumnDef("opt", StringType, nullable = false)))
+    val tightenPlan = Planner.plan(Seq(tightenDesired), Seq(observed))
+    assert(tightenPlan.aligns.head.actions.contains(NullabilityChange("t1", "opt", makeNullable = false)))
+    val eT = intercept[UnsafePlanError] { Validator.validatePlan(tightenPlan, Seq(observed)) }
+    assert(eT.getMessage.contains("NoTightenNullability"))
+    // PK change: drop+add pair planned, both refused
+    val pkDesired = TableDef("t1", Seq(
+      ColumnDef("id", LongType, nullable = false),
+      ColumnDef("legacy", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("opt", StringType, nullable = true)))
+    val pkPlan = Planner.plan(Seq(pkDesired), Seq(observed))
+    val acts = pkPlan.aligns.head.actions
+    assert(acts.exists { case PrimaryKeyDrop("t1", n) => n.startsWith("pk_t1__id"); case _ => false })
+    assert(acts.exists { case PrimaryKeyAdd("t1", n, cols) => cols == Seq("legacy"); case _ => false })
+    val ePk = intercept[UnsafePlanError] { Validator.validatePlan(pkPlan, Seq(observed)) }
+    assert(ePk.getMessage.contains("NoPrimaryKeyChange"))
+  }
+
+  test("metadata-only actions plan AND execute: comments, nullability loosen, properties") {
+    val wh = tmpDir("planner-meta")
+    val v1 = TableDef("meta_t", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("v", StringType, nullable = false)),
+      comment = "first", properties = Map("team" -> "core"))
+    new Orchestrator(spark, wh).syncTables(Seq(v1))
+    // desired drifts: loosen v, comment both columns, new table comment + prop
+    val v2 = TableDef("meta_t", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true, comment = "pk"),
+      ColumnDef("v", StringType, nullable = true, comment = "payload")),
+      comment = "second", properties = Map("team" -> "core", "tier" -> "gold"))
+    val p = new Orchestrator(spark, wh).syncTables(Seq(v2))
+    val acts = p.aligns.head.actions
+    assert(acts.contains(NullabilityChange("meta_t", "v", makeNullable = true)))
+    assert(acts.contains(SetColumnComments("meta_t", Map("id" -> "pk", "v" -> "payload"))))
+    assert(acts.contains(SetTableComment("meta_t", "second")))
+    assert(acts.contains(SetProperties("meta_t", Map("tier" -> "gold"))))
+    // applied: re-planning is empty (idempotency incl. metadata)
+    assert(new Orchestrator(spark, wh).syncTables(Seq(v2)).isEmpty)
+    val st = StateReader.read(spark, wh, "meta_t")
+    assert(st.tableComment == "second" && st.properties("tier") == "gold")
+    assert(st.schema("v").nullable && st.schema("v").getComment().contains("payload"))
+    // amendments did NOT cut a new schema version (metadata-only)
+    import graft.cdc.lake._
+    assert(LakeTable.load(spark, s"$wh/meta_t", "meta_t").snapshot.schemaVersion == 1)
+  }
+
+  test("constraint naming is deterministic, order-sensitive, and length-bounded") {
+    val a = naming.primaryKeyName("orders", Seq("region", "id"))
+    assert(a == naming.primaryKeyName("orders", Seq("region", "id")))
+    assert(a != naming.primaryKeyName("orders", Seq("id", "region")), "column order is significant")
+    assert(a == "pk_orders__region_id")
+    val fk = naming.foreignKeyName("orders", "cust_id", "customer", "id")
+    assert(fk == "fk_orders_cust_id_to_customer_id")
+    val long = naming.primaryKeyName("t" * 200, Seq("c" * 50))
+    assert(long.length <= naming.maxIdentifierLen)
+    assert(long == naming.primaryKeyName("t" * 200, Seq("c" * 50)))
+    // distinct long inputs stay distinct through truncation (hash suffix)
+    assert(long != naming.primaryKeyName("t" * 200, Seq("c" * 49 + "x")))
+  }
+
+  test("orchestrator: stage order snapshot -> plan -> validate -> execute, fail-fast") {
+    // reference analog: tests/delta_engine/orchestrate/test_orchestrator.py
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val d = tdef("t9", "id" -> LongType)
+    val okPlan = TablePlan(Seq(CreateTable("t9", d)), Nil)
+    val orch = new Orchestrator(spark, "/none",
+      reader = (_, _, n) => { calls += s"read:$n"; TableState(n, exists = false, StructType(Nil), Nil, Map.empty) },
+      planner = (_, _) => { calls += "plan"; okPlan },
+      modelValidator = _ => calls += "validateModels",
+      planValidator = (_, _) => calls += "validatePlan",
+      executor = (_, _, _) => calls += "execute")
+    assert(orch.syncTables(Seq(d)) eq okPlan)
+    assert(calls.toSeq == Seq("validateModels", "read:t9", "plan", "validatePlan", "execute"))
+    // fail-fast: a refusing validator must prevent execution
+    calls.clear()
+    val failing = new Orchestrator(spark, "/none",
+      reader = (_, _, n) => TableState(n, exists = false, StructType(Nil), Nil, Map.empty),
+      planner = (_, _) => okPlan,
+      modelValidator = _ => (),
+      planValidator = (_, _) => throw new UnsafePlanError("nope"),
+      executor = (_, _, _) => calls += "execute")
+    intercept[UnsafePlanError] { failing.syncTables(Seq(d)) }
+    assert(!calls.contains("execute"), "validation failure must prevent execution")
+  }
+
+  test("FK metadata: deterministic edges from column defs") {
+    val t = TableDef("order_fact", Seq(
+      ColumnDef("order_id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("product_id", LongType, foreignKey = Some(ForeignKey("product_dim", "product_id"))),
+      ColumnDef("aisle_id", LongType, foreignKey = Some(ForeignKey("aisle_dim", "aisle_id")))))
+    val edges = t.foreignKeyEdges
+    assert(edges.map(_.constraint_name) == Seq(
+      "fk_order_fact_product_id_to_product_dim_product_id",
+      "fk_order_fact_aisle_id_to_aisle_dim_aisle_id"))
+    assert(DdlRunner.lineageEdges(Seq(t)) == edges)
+  }
+
   test("property: planner is idempotent (plan after apply is empty)") {
     val dtGen = SGen.oneOf[DataType](IntegerType, LongType, DoubleType, StringType, BooleanType)
     val colGen = for {

@@ -40,4 +40,79 @@ class QualityGateSpec extends SparkSuite {
     val dups = gate.duplicateKeys(df, Seq("id")).collect()
     assert(dups.length == 1 && dups(0).getLong(0) == 1L && dups(0).getLong(1) == 2L)
   }
+
+  test("quarantine split: error rows blocked, warn rows pass annotated, clean rows clean") {
+    val gate = new QualityGate(Check.fromColumns(columns))
+    val df = Seq(
+      (1L, "scala", 0.5),  // clean
+      (2L, "py", -0.3),    // warn (min_value)
+      (3L, "rust", 0.5))   // error (is_in_list)
+      .toDF("id", "lang", "score")
+    val res = gate.split(df)
+    // pass = no error-level failure; the warn-only row proceeds (reference
+    // semantics: the write continues, warnings are audited)
+    assert(res.pass.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val q = res.quarantine.collect().map(r => r.getLong(0) -> r).toMap
+    assert(q.keySet == Set(2L, 3L))
+    val warnNames = q(2L).getSeq[org.apache.spark.sql.Row](3).map(_.getString(0))
+    assert(warnNames == Seq("min_value") && q(2L).getSeq[Any](4).isEmpty)
+    val errNames = q(3L).getSeq[org.apache.spark.sql.Row](4).map(_.getString(0))
+    assert(errNames == Seq("is_in_list") && q(3L).getSeq[Any](3).isEmpty)
+  }
+
+  test("audit + quarantine lake tables: failures persisted per epoch, errors persisted before abort") {
+    import graft.cdc._, graft.cdc.lake._, graft.cdc.ingest._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("dq-audit")
+    val schema = StructType(Seq(
+      StructField("repo", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("lang", StringType),
+      StructField("content", StringType)))
+    val cols = Seq(
+      ColumnDef("repo", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("path", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("lang", StringType, qualityRule =
+        Some(QualityRule(Criticality.Warn, allowedValues = Some(Seq("scala", "py"))))),
+      ColumnDef("content", StringType, qualityRule =
+        Some(QualityRule(Criticality.Error, allowedValues = Some(Seq("ok"))))))
+    val t = LakeTable.createIfNotExists(spark, s"$root/t", "t", schema, Seq("repo", "path"), 4)
+    val audit = LakeTable.createIfNotExists(spark, s"$root/dq", DataQualityChecks.tableName,
+      DataQualityChecks.schema, Seq("table_name", "check_name"), 4)
+    val qSchema = StructType(schema.fields ++ Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("_warnings", StringType), StructField("_errors", StringType)))
+    val quar = LakeTable.createIfNotExists(spark, s"$root/quar", "quarantine",
+      qSchema, Seq("repo", "path"), 4)
+    val eng = new ReplayEngine(t, SchemaRegistry.single(schema),
+      gate = Some(new QualityGate(Check.fromColumns(cols))),
+      auditTable = Some(audit), quarantineTable = Some(quar))
+
+    def batch(rows: Seq[(Long, String, String, String, String)]) =
+      rows.toDF("lsn", "repo", "path", "lang", "content")
+        .select(col("lsn"), lit("U").as("op"), col("repo"), col("path"), col("lang"), col("content"))
+
+    // epoch 0: one warn (lang=go), no errors -> commits, audit row appended
+    val r0 = eng.applyEpoch(batch(Seq((1L, "r1", "a", "go", "ok"), (2L, "r1", "b", "scala", "ok"))), 0)
+    assert(r0.committed)
+    val a0 = audit.read().collect()
+    assert(a0.length == 1)
+    assert(a0(0).getAs[String]("check_name") == "is_in_list" &&
+      a0(0).getAs[String]("criticality") == "warn" &&
+      a0(0).getAs[Long]("failed_rows") == 1L && a0(0).getAs[Long]("job_id") == 0L)
+    // quarantined row = the warn row, with its annotation
+    val qr0 = quar.read().collect()
+    assert(qr0.length == 1 && qr0(0).getAs[String]("path") == "a" &&
+      qr0(0).getAs[String]("_warnings").contains("is_in_list"))
+
+    // epoch 1: an error-level violation -> abort, but audit row persisted first
+    intercept[QualityGateError] {
+      eng.applyEpoch(batch(Seq((3L, "r1", "c", "scala", "CORRUPT"))), 1)
+    }
+    assert(t.snapshot.epochId == 0L, "aborted epoch must not commit")
+    val rows = audit.read().collect().map(r =>
+      (r.getAs[Long]("job_id"), r.getAs[String]("criticality"), r.getAs[String]("check_name")))
+    assert(rows.toSet == Set((0L, "warn", "is_in_list"), (1L, "error", "is_in_list")))
+    assert(quar.read().filter(col("_errors").contains("is_in_list")).count() == 1)
+  }
 }
