@@ -188,20 +188,28 @@ object ingest {
       // 3.+4. copy-on-write merge with the per-key max-LSN dedup FUSED into
       //    the merge aggregation (one wide shuffle; see LakeTable.merge),
       //    then the fenced commit. Epochs known to be dense (>= 32 events per
-      //    bucket on average) skip the touched-bucket pre-pass.
+      //    bucket on average) skip the touched-bucket pre-pass entirely
+      //    (per-bucket stats ride the merge job as observed metrics).
+      //    Verified replay fuses its sha256 checksum into the SAME job the
+      //    same way — verify mode costs sha CPU, not an extra batch scan.
       val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
+      val csObs =
+        if (verifyChecksums)
+          Some(org.apache.spark.sql.Observation(s"cs-$epochId-${java.util.UUID.randomUUID()}"))
+        else None
+      val gated = csObs match {
+        case Some(o) => withMeta.observe(o, sum(crc32(sha2(col("content"), 256))).as("cs"))
+        case None => withMeta
+      }
       val res = mode match {
-        case MergeMode.CoW => table.merge(withMeta, epochId, assumeFullTouch = dense)
-        case MergeMode.MoR => table.deltaAppend(withMeta, epochId, assumeFullTouch = dense)
+        case MergeMode.CoW => table.merge(gated, epochId, assumeFullTouch = dense)
+        case MergeMode.MoR => table.deltaAppend(gated, epochId, assumeFullTouch = dense)
       }
 
-      // 5. verified-replay checksum (one CPU-bound pass over the batch)
+      // 5. verified-replay checksum, observed on the merge job itself
       val checksum: Long =
         if (verifyChecksums && res.committed)
-          withMeta.agg(sum(crc32(sha2(col("content"), 256)))).collect()(0) match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0)
-          }
+          csObs.flatMap(_.get.get("cs")).collect { case n: Number => n.longValue }.getOrElse(0L)
         else 0L
 
       val wallMs = (System.nanoTime() - t0) / 1000000L

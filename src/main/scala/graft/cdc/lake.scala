@@ -451,6 +451,16 @@ object lake {
     def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      // Dense epochs (most buckets touched) skip the stats pre-pass entirely:
+      // the per-bucket stats ride the merge job itself as observed metrics —
+      // ONE job per epoch, no second scan of the batch. The observed-metrics
+      // expression set is linear in numBuckets, so this fusion applies up to
+      // 64 buckets; beyond that (production: 4096+) the narrow aggregate
+      // pre-pass below stays the right shape (its cost amortizes over the
+      // proportionally larger epoch).
+      if (assumeFullTouch && cur.numBuckets <= 64 &&
+          System.getProperty("graft.merge.fuseStats", "1") == "1")
+        return mergeDense(batch, epochId, cur)
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
       val nonKey = payload.filterNot(keys.contains)
@@ -502,6 +512,71 @@ object lake {
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
 
+    /** Dense-epoch merge: all buckets are read and rewritten, and the
+      * per-bucket batch stats (lsn ranges, upsert/delete counts — lineage +
+      * file stamping) are collected as OBSERVED METRICS on the batch leg of
+      * the one merge job. Untouched buckets (no batch rows) are rewritten
+      * too (they were read anyway under the full-touch assumption) and keep
+      * their previous lsn-range stamps. */
+    private def mergeDense(batch: DataFrame, epochId: Long, cur: Snapshot): CommitResult = {
+      val payload = cur.schema.fieldNames.toSeq
+      val nb = cur.numBuckets
+      val obs = org.apache.spark.sql.Observation(s"merge-stats-${UUID.randomUUID()}")
+      val aggs = (0 until nb).flatMap { b =>
+        val isB = col("_ob") === b
+        Seq(
+          min(when(isB, col("lsn"))).as(s"lmin$b"),
+          max(when(isB, col("lsn"))).as(s"lmax$b"),
+          sum(when(isB && col("op") === "D", 1L).otherwise(0L)).as(s"dels$b"),
+          sum(when(isB && col("op") =!= "D", 1L).otherwise(0L)).as(s"ups$b"))
+      }
+      val ordered = Seq(col("lsn"), col("op")) ++ payload.map(col)
+      val batchObs = batch
+        .select((ordered :+ bucketExpr(cur).as("_ob")): _*)
+        .observe(obs, aggs.head, aggs.tail: _*)
+        .drop("_ob")
+      val base = readFileGroup(cur, cur.files.filter(_.kind == "base"), withMeta = false)
+        .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
+      val deltas = readFileGroup(cur, cur.files.filter(_.kind == "delta"), withMeta = true)
+      val merged = mergeExpr(base.unionByName(deltas).unionByName(batchObs), cur)
+
+      val nextVersion = cur.version + 1
+      val rawFiles = timed("merge:agg+write")(writeBucketed(merged, cur, nextVersion,
+        repartitionByBucket = false))
+
+      val m = obs.get
+      def metric(n: String): Option[Long] =
+        m.get(n).collect { case x: Number => x.longValue }
+      val perBucket = (0 until nb).flatMap { b =>
+        val ups = metric(s"ups$b").getOrElse(0L)
+        val dels = metric(s"dels$b").getOrElse(0L)
+        if (ups + dels == 0) None
+        else Some(b -> (metric(s"lmin$b").getOrElse(-1L), metric(s"lmax$b").getOrElse(-1L), ups, dels))
+      }.toMap
+      if (perBucket.isEmpty) return CommitResult(committed = false, cur, Nil) // empty batch
+      val lsnHigh = perBucket.values.map(_._2).max
+
+      val oldByBucket = cur.files.filter(_.lsnMin >= 0).groupBy(_.bucket)
+      val newFiles = rawFiles.map { f =>
+        perBucket.get(f.bucket) match {
+          case Some((lmin, lmax, _, _)) => f.copy(lsnMin = lmin, lsnMax = lmax)
+          case None => // untouched bucket rewritten verbatim: keep old stamps
+            val olds = oldByBucket.getOrElse(f.bucket, Nil)
+            f.copy(lsnMin = if (olds.isEmpty) -1L else olds.map(_.lsnMin).min,
+              lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
+        }
+      }
+      val next = cur.copy(version = nextVersion, epochId = epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = newFiles)
+      val ok = commit(next)
+      val removedByBucket = cur.files.groupBy(_.bucket)
+      val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
+        LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
+          newFiles.count(_.bucket == b), removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
+      }
+      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+    }
+
     /** Per-bucket batch stats, one narrow aggregate job (content is
       * column-pruned out of the scan). Dense epochs aggregate RAW events
       * straight to <= numBuckets groups — fully map-side combinable, no
@@ -537,16 +612,35 @@ object lake {
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
       val nonKey = payload.filterNot(keys.contains)
+      // dense epochs: fuse the per-bucket stats into the winners job as
+      // observed metrics (see mergeDense) — one job, no batch pre-pass
+      val fuseStats = assumeFullTouch && cur.numBuckets <= 64
 
-      val statsRows = perBucketStats(batch, cur, assumeFullTouch)
-      if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
-      val lsnByBucket = statsRows.map(r =>
-        r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
-      val lsnHigh = lsnByBucket.values.map(_._2).max
+      var statsRows: Array[org.apache.spark.sql.Row] = Array.empty
+      var obsOpt: Option[org.apache.spark.sql.Observation] = None
+      val source: DataFrame =
+        if (fuseStats) {
+          val obs = org.apache.spark.sql.Observation(s"delta-stats-${UUID.randomUUID()}")
+          obsOpt = Some(obs)
+          val aggs = (0 until cur.numBuckets).flatMap { b =>
+            val isB = col("_ob") === b
+            Seq(
+              min(when(isB, col("lsn"))).as(s"lmin$b"),
+              max(when(isB, col("lsn"))).as(s"lmax$b"),
+              sum(when(isB && col("op") === "D", 1L).otherwise(0L)).as(s"dels$b"),
+              sum(when(isB && col("op") =!= "D", 1L).otherwise(0L)).as(s"ups$b"))
+          }
+          batch.select((Seq(col("lsn"), col("op")) ++ payload.map(col) :+ bucketExpr(cur).as("_ob")): _*)
+            .observe(obs, aggs.head, aggs.tail: _*)
+            .drop("_ob")
+        } else {
+          statsRows = perBucketStats(batch, cur, assumeFullTouch)
+          if (statsRows.isEmpty) return CommitResult(committed = false, cur, Nil)
+          batch.select((Seq(col("lsn"), col("op")) ++ payload.map(col)): _*)
+        }
 
       // per-key winners incl. delete tombstones, keeping (lsn, op)
-      val winners = batch
-        .select((Seq(col("lsn"), col("op")) ++ payload.map(col)): _*)
+      val winners = source
         .groupBy(keys.map(col): _*)
         .agg(graft.functions.MaxByRow.maxByRow(
           struct((Seq(col("lsn"), col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
@@ -556,19 +650,37 @@ object lake {
       val nextVersion = cur.version + 1
       val rawFiles = timed("merge:delta+write")(writeBucketed(winners, cur, nextVersion,
         repartitionByBucket = false, kind = "delta"))
+
+      // resolve stats: either from the pre-pass rows or the observed metrics
+      val perBucket: Map[Int, (Long, Long, Long, Long)] = obsOpt match {
+        case Some(obs) =>
+          val m = obs.get
+          def metric(n: String): Option[Long] =
+            m.get(n).collect { case x: Number => x.longValue }
+          (0 until cur.numBuckets).flatMap { b =>
+            val ups = metric(s"ups$b").getOrElse(0L)
+            val dels = metric(s"dels$b").getOrElse(0L)
+            if (ups + dels == 0) None
+            else Some(b -> (metric(s"lmin$b").getOrElse(-1L), metric(s"lmax$b").getOrElse(-1L), ups, dels))
+          }.toMap
+        case None =>
+          statsRows.map(r => r.getAs[Int]("_b") ->
+            (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"),
+              r.getAs[Long]("ups"), r.getAs[Long]("dels"))).toMap
+      }
+      if (perBucket.isEmpty) return CommitResult(committed = false, cur, Nil) // empty batch
+      val lsnHigh = perBucket.values.map(_._2).max
+
       val newFiles = rawFiles.map(f =>
-        f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
-          lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
+        f.copy(lsnMin = perBucket.get(f.bucket).map(_._1).getOrElse(-1L),
+          lsnMax = perBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
       val next = cur.copy(version = nextVersion, epochId = epochId,
         lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = cur.files ++ newFiles)
       val ok = commit(next)
-      val lin = statsRows.map { r =>
-        val b = r.getAs[Int]("_b")
-        LineageEntry(name, nextVersion, epochId, b,
-          r.getAs[Long]("lmin"), r.getAs[Long]("lmax"),
-          r.getAs[Long]("ups"), r.getAs[Long]("dels"),
+      val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
+        LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
           newFiles.count(_.bucket == b), 0, nowTs())
-      }.toSeq
+      }
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
 

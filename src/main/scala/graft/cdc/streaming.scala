@@ -46,6 +46,36 @@ object streaming {
         min("lsn").as("lsn_min"), max("lsn").as("lsn_max"))
   }
 
+  /** Cross-epoch stateful dedup: per-key last-applied-LSN state via
+    * `flatMapGroupsWithState`, emitting only events STRICTLY newer than the
+    * key's high-watermark. The in-batch max-LSN window (Dedup.latestPerKey /
+    * the fused merge aggregation) is order-insensitive WITHIN an epoch; this
+    * operator extends that guarantee ACROSS micro-batches for tails that can
+    * redeliver or interleave old LSNs between epochs (at-least-once sources).
+    *
+    * State is O(1) per key (one long) and lives in the Structured Streaming
+    * state store — checkpointed, partitioned by key, nothing driver-side.
+    * GroupStateTimeout is deliberately none: a CDC key's watermark must never
+    * expire, and one long per live file key is the same asymptotic state the
+    * lake table itself carries. */
+  def statefulDedup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rowEnc = Encoders.row(events.schema)
+    events
+      .groupByKey((r: Row) =>
+        r.getAs[String]("repo") + "\u0000" + r.getAs[String]("path"))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          val high = state.getOption.getOrElse(-1L)
+          // keep only events above the watermark; advance it to the batch max
+          val fresh = rows.filter(_.getAs[Long]("lsn") > high).toSeq
+          if (fresh.nonEmpty) state.update(math.max(high, fresh.map(_.getAs[Long]("lsn")).max))
+          fresh.iterator
+        })(Encoders.scalaLong, rowEnc)
+      .toDF()
+  }
+
   /** Run the CDC apply loop over a streaming source; one micro-batch = one
     * epoch. `Trigger.AvailableNow` drains everything currently in the source
     * then stops (deterministic for tests/bench); pass ProcessingTime for a

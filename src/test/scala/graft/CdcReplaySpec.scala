@@ -46,6 +46,45 @@ class CdcReplaySpec extends SparkSuite {
     }
   }
 
+  test("dense full-touch path (stats fused as observed metrics) matches oracle and sparse lineage") {
+    val cfg = gen.GenConfig(n = 8000, nKeys = 1200, numPartitions = 4)
+    val all = gen.changeEvents(spark, cfg)
+    def run(root: String, dense: Boolean, mode: MergeMode): (LakeTable, Seq[EpochResult]) = {
+      val t = LakeTable.createIfNotExists(spark, root, "repo_files",
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+      val eng = new ReplayEngine(t, SchemaRegistry.single(RepoRow.schemaV1), mode = mode)
+      val rs = (0 until 2).map { e =>
+        val batch = all.filter(col("lsn") >= e * 4000 && col("lsn") < (e + 1) * 4000)
+        // knownInputCount = 4000 >= 8 buckets * 32 -> dense (observe) path
+        eng.applyEpoch(batch, e, knownInputCount = if (dense) Some(4000L) else None)
+      }
+      if (mode == MergeMode.MoR) t.compactDeltas()
+      (t, rs)
+    }
+    val (td, rd) = run(tmpDir("dense"), dense = true, MergeMode.CoW)
+    val (ts, rs) = run(tmpDir("sparse"), dense = false, MergeMode.CoW)
+    // same final state as the independent oracle
+    val exp = gen.oracleFinalState(cfg)
+    Seq(td, ts).foreach { t =>
+      val got = t.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(got.size == exp.size)
+      exp.foreach { case (k, e) => assert(got.get(k).contains(gen.sha256Hex(e.content))) }
+    }
+    // dense lineage (raw-event counts by bucket, lsn ranges) sums to the batch
+    rd.zipWithIndex.foreach { case (r, e) =>
+      assert(r.lineage.map(l => l.rows_upserted + l.rows_deleted).sum == 4000L)
+      assert(r.lineage.map(_.lsn_min).min == e * 4000L)
+      assert(r.lineage.map(_.lsn_max).max == (e + 1) * 4000L - 1)
+    }
+    // MoR dense path too (observed metrics on the winners job)
+    val (tm, rm) = run(tmpDir("dense-mor"), dense = true, MergeMode.MoR)
+    val gotM = tm.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(gotM.size == exp.size)
+    rm.foreach(r => assert(r.lineage.map(l => l.rows_upserted + l.rows_deleted).sum == 4000L))
+  }
+
   test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
     val cfg = gen.GenConfig(n = 20000, nKeys = 3000, numPartitions = 8)
     val table = replay(tmpDir("lake"), cfg, epochs = 5)

@@ -56,4 +56,34 @@ class StreamingReplaySpec extends SparkSuite {
       assert(got.get(k).contains(gen.sha256Hex(e.content)), s"sha mismatch for $k")
     }
   }
+
+  test("stateful cross-epoch dedup suppresses redelivered/stale LSNs across micro-batches") {
+    import spark.implicits._
+    val srcDir = tmpDir("sdedup-src")
+    val ckDir = tmpDir("sdedup-ck")
+    val outDir = tmpDir("sdedup-out")
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("lsn", "op", "repo", "path")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // batch 1: keys a@5, b@3
+    write(Seq((5L, "U", "r1", "a"), (3L, "U", "r1", "b")))
+    val schema = spark.read.parquet(srcDir).schema
+    def drain(): Unit = {
+      val q = streaming.statefulDedup(
+          streaming.changeStream(spark, srcDir, schema, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    // batch 2: a@4 is a stale redelivery (must be dropped), a@7 and c@1 are fresh
+    write(Seq((4L, "U", "r1", "a"), (7L, "U", "r1", "a"), (1L, "U", "r1", "c")))
+    drain()
+    val out = spark.read.parquet(outDir).select("lsn", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((5L, "a"), (3L, "b"), (7L, "a"), (1L, "c")),
+      s"stale a@4 must be suppressed by the state-store watermark; got $out")
+  }
 }
