@@ -281,7 +281,7 @@ object Bench {
       // merge job as an observed metric): CPU-heavier, so its N->4N ratio
       // reflects the engine's structural scaling rather than this VM's
       // memory-bandwidth ceiling
-      val vPairs = sys.env.getOrElse("SPARK_GRAFT_CDC_VPAIRS", "2").toInt
+      val vPairs = sys.env.getOrElse("SPARK_GRAFT_CDC_VPAIRS", "3").toInt
       val vSamples = (0 until vPairs).map(onePair(_, verify = true))
       val vEff = if (vSamples.isEmpty) 0.0 else trimmedMedian(vSamples.map(_._3))
       val vBestN = if (vSamples.isEmpty) 0.0 else vSamples.map(_._1._1).max
