@@ -127,19 +127,25 @@ object SparkEntry {
      FROM pairs WHERE bit_count(xor(f1, f2)) <= 8 ORDER BY d1, d2"""
   }
 
-  /** q29b: the 8 seeded Gaussian hyperplanes are embedded as literals (exact
-    * double round-trip via Double.toString), bucket = sign-bit signature. */
+  /** q29b: 4 bands x 8 seeded Gaussian hyperplanes embedded as literals
+    * (exact double round-trip via Double.toString); candidate iff ANY band's
+    * sign-bit signature collides (OR-amplified LSH). */
   private lazy val annLshOracleSql: String = {
-    val planes = similarity.hyperplanes(8, 64)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.map(_.toString).mkString("[", ",", "]")
+    val nPlanes = 8; val nBands = 4
+    val planes = similarity.hyperplanes(nPlanes * nBands, 64)
+    def sig(b: Int): String = (0 until nPlanes).map { i =>
+      val arr = planes(b * nPlanes + i).map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+    val bandIds = (0 until nBands).mkString("[", ",", "]")
+    val sigList = (0 until nBands).map(sig).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-     b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
-     q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id < 5),
-     s AS (SELECT q.q_id, b.vec_id AS c_id, round(list_cosine_similarity(q.q_emb, b.emb),4) AS cos
-           FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.q_id)
+     b AS (SELECT vec_id, unnest($bandIds) AS band, unnest($sigList) AS sig FROM e),
+     q AS (SELECT vec_id AS q_id, band, sig FROM b WHERE vec_id < 5),
+     cand AS (SELECT DISTINCT q.q_id, b.vec_id AS c_id FROM q
+              JOIN b ON b.band = q.band AND b.sig = q.sig AND b.vec_id <> q.q_id),
+     s AS (SELECT c.q_id, c.c_id, round(list_cosine_similarity(eq.emb, ec.emb),4) AS cos
+           FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e ec ON ec.vec_id = c.c_id)
      SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
       (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
      WHERE rank <= 3 ORDER BY q_id, rank"""

@@ -131,23 +131,33 @@ object similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: bucket corpus by 8-bit hyperplane signature, search
-    * each query only within its bucket (plus exact rescoring). At scale the
-    * bucketing is ONE narrow pass over the corpus; queries never see vectors
-    * outside their bucket. Approximate by construction — recall depends on
-    * bucket width. */
+  /** Multi-band LSH ANN: `nBands` independent 8-bit hyperplane signatures
+    * per vector; a corpus vector is a candidate for a query if they collide
+    * in ANY band (the standard OR-amplification — recall 1-(1-p^b)^L instead
+    * of a single band's p^b). At scale the bucketing is ONE narrow pass over
+    * the corpus (bands as data via posexplode, one join on (band, sig));
+    * candidates are exact-rescored and ranked. Recall/cost dial: more bands
+    * = higher recall, proportionally more candidates. */
   def annLsh(spark: SparkSession, dir: String, maxQueryId: Int = 5, k: Int = 3,
-      nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
+      nPlanes: Int = 8, nBands: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes * nBands, 64)
+    val bandSigs = (0 until nBands).map { b =>
+      lshSignature(col("emb"), planes.slice(b * nPlanes, (b + 1) * nPlanes))
+    }
     val e = emb(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", lshSignature(col("emb"), planes))
-    val q = e.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
-    val scored = broadcast(q).join(e, Seq("bucket"))
+      .withColumn("sigs", array(bandSigs: _*))
+    val bands = e.select(col("vec_id"), col("emb"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val q = bands.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("band"), col("sig"))
+    // distinct (q, candidate) pairs across bands, then ONE exact rescore each
+    val cand = broadcast(q).join(bands, Seq("band", "sig"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"), col("emb"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.select(col("q_id"), col("c_id"),
+      round(cosine(col("q_emb"), col("emb")), 4).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
