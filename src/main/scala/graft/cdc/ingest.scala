@@ -169,20 +169,29 @@ object ingest {
         val gated = withMeta.where(col("op") =!= "D")
         val failures = g.evaluate(gated)
         if (failures.nonEmpty) {
+          // Idempotence policy: audit/quarantine appends for epochs that will
+          // COMMIT are fenced at this epochId, so a crash-replay of an
+          // already-committed epoch cannot double-count failures in the SLO.
+          // Error-aborted attempts append UNFENCED (at-least-once, like the
+          // reference's _handle_errors) so a corrected resubmission of the
+          // same epoch id still gets its failures audited.
+          val hasErrors = failures.exists(_.criticality == "error")
+          val fenceId = if (hasErrors) -1L else epochId
           auditTable.foreach { at =>
             at.append(quality.DataQualityChecks.auditRows(
-              table.spark, failures, table.name, jobId = epochId, runId = epochId))
+              table.spark, failures, table.name, jobId = epochId, runId = epochId),
+              epochId = fenceId)
           }
           quarantineTable.foreach { qt =>
             val quarantine = g.split(gated).quarantine
               .withColumn("epoch", lit(epochId))
               .withColumn("_warnings", to_json(col("_warnings")))
               .withColumn("_errors", to_json(col("_errors")))
-            qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*))
+            qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*),
+              epochId = fenceId)
           }
+          if (hasErrors) throw new quality.QualityGateError(failures.filter(_.criticality == "error"))
         }
-        val errors = failures.filter(_.criticality == "error")
-        if (errors.nonEmpty) throw new quality.QualityGateError(errors)
       }
 
       // 3.+4. copy-on-write merge with the per-key max-LSN dedup FUSED into
@@ -193,8 +202,12 @@ object ingest {
       //    Verified replay fuses its sha256 checksum into the SAME job the
       //    same way — verify mode costs sha CPU, not an extra batch scan.
       val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
+      // checksum fusion only on the DENSE path: sparse merges run a narrow
+      // stats pre-pass over (keys, lsn, op), and an Observation upstream
+      // would drag `content` (and its sha256) into that scan too — the
+      // separate post-commit pass is strictly cheaper there
       val csObs =
-        if (verifyChecksums)
+        if (verifyChecksums && dense)
           Some(org.apache.spark.sql.Observation(s"cs-$epochId-${java.util.UUID.randomUUID()}"))
         else None
       val gated = csObs match {
@@ -206,10 +219,18 @@ object ingest {
         case MergeMode.MoR => table.deltaAppend(gated, epochId, assumeFullTouch = dense)
       }
 
-      // 5. verified-replay checksum, observed on the merge job itself
+      // 5. verified-replay checksum: observed on the merge job itself (dense)
+      //    or one dedicated CPU pass over the batch (sparse)
       val checksum: Long =
-        if (verifyChecksums && res.committed)
-          csObs.flatMap(_.get.get("cs")).collect { case n: Number => n.longValue }.getOrElse(0L)
+        if (verifyChecksums && res.committed) csObs match {
+          case Some(o) =>
+            o.get.get("cs").collect { case n: Number => n.longValue }.getOrElse(0L)
+          case None =>
+            withMeta.agg(sum(crc32(sha2(col("content"), 256)))).collect()(0) match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+        }
         else 0L
 
       val wallMs = (System.nanoTime() - t0) / 1000000L

@@ -64,7 +64,12 @@ object lake {
       epochId: Long,
       lsnHigh: Long,
       properties: Map[String, String],
-      files: Seq[DataFile]) {
+      files: Seq[DataFile],
+      /** Highest lsnMax among delta files ever folded away (CoW merge /
+        * compaction). Lets changesSince prove completeness in O(1): a delta
+        * committed after snapshot v carries lsn > v.lsnHigh (binlog ordering
+        * contract), so post-v changes were lost iff foldedLsnHigh > v.lsnHigh. */
+      foldedLsnHigh: Option[Long] = None) {
     def schema: StructType = schemaOf(schemaVersion)
     def schemaOf(v: Int): StructType =
       DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
@@ -185,11 +190,23 @@ object lake {
       // atomic AND refuses an existing target on POSIX, unlike ATOMIC_MOVE
       // (which silently replaces). Losing one of two concurrent writers is the
       // whole point of optimistic concurrency — the loser gets a conflict.
+      // Filesystems without hard links (some FUSE/NFS/SMB mounts) fall back
+      // to an O_EXCL CREATE_NEW write — same fail-if-exists claim, with a
+      // (tiny, documented) torn-manifest window on crash mid-copy that the
+      // _CURRENT pointer shields readers from.
       try Files.createLink(snapPath(next.version), tmp)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           throw new CommitConflictException(name, next.version, e)
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          try Files.write(snapPath(next.version), Files.readAllBytes(tmp),
+            java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+          catch {
+            case e2: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              throw new CommitConflictException(name, next.version, e2)
+          }
         case NonFatal(e) => Files.deleteIfExists(tmp); throw e
       } finally Files.deleteIfExists(tmp)
       val ptrTmp = metaDir.resolve(s".ptr-${UUID.randomUUID()}")
@@ -328,6 +345,14 @@ object lake {
     }
 
     private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+
+    /** Fold removed delta files' lsn range into the snapshot-level
+      * high-watermark (see Snapshot.foldedLsnHigh). */
+    private def foldDeltas(cur: Snapshot, removed: Seq[DataFile]): Option[Long] = {
+      val folded = removed.filter(f => f.kind == "delta").map(_.lsnMax).filter(_ >= 0)
+      if (folded.isEmpty) cur.foldedLsnHigh
+      else Some(math.max(cur.foldedLsnHigh.getOrElse(-1L), folded.max))
+    }
 
     /** Full overwrite (reference: src/models/writer.py:34-40). An unfenced
       * write (epochId = -1) carries the current fence FORWARD rather than
@@ -498,9 +523,10 @@ object lake {
         f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
           lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
       val carried = cur.files.filterNot(f => touched(f.bucket))
-      val next = cur.copy(version = nextVersion, epochId = epochId,
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles)
-      val ok = commit(next)
+      val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles,
+        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => touched(f.bucket))))
+      val ok = commit(next, fence = epochId >= 0)
       val removedByBucket = cur.files.filter(f => touched(f.bucket)).groupBy(_.bucket)
       val lin = statsRows.map { r =>
         val b = r.getAs[Int]("_b")
@@ -517,7 +543,15 @@ object lake {
       * file stamping) are collected as OBSERVED METRICS on the batch leg of
       * the one merge job. Untouched buckets (no batch rows) are rewritten
       * too (they were read anyway under the full-touch assumption) and keep
-      * their previous lsn-range stamps. */
+      * their previous lsn-range stamps.
+      *
+      * Contract: `assumeFullTouch` callers assert a non-trivial batch (the
+      * ReplayEngine gates it on knownInputCount >= numBuckets*32). An
+      * actually-empty batch stays CORRECT — the commit is skipped when the
+      * observed counts are zero — but the full-table rewrite has already run
+      * and its files are left as vacuum-able orphans; emptiness cannot be
+      * known earlier without a pre-pass, which is the very job this path
+      * exists to avoid. */
     private def mergeDense(batch: DataFrame, epochId: Long, cur: Snapshot): CommitResult = {
       val payload = cur.schema.fieldNames.toSeq
       val nb = cur.numBuckets
@@ -566,9 +600,10 @@ object lake {
               lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
         }
       }
-      val next = cur.copy(version = nextVersion, epochId = epochId,
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = newFiles)
-      val ok = commit(next)
+      val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = newFiles,
+        foldedLsnHigh = foldDeltas(cur, cur.files))
+      val ok = commit(next, fence = epochId >= 0)
       val removedByBucket = cur.files.groupBy(_.bucket)
       val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
         LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
@@ -614,7 +649,9 @@ object lake {
       val nonKey = payload.filterNot(keys.contains)
       // dense epochs: fuse the per-bucket stats into the winners job as
       // observed metrics (see mergeDense) — one job, no batch pre-pass
-      val fuseStats = assumeFullTouch && cur.numBuckets <= 64
+      // (same kill-switch as the CoW path)
+      val fuseStats = assumeFullTouch && cur.numBuckets <= 64 &&
+        System.getProperty("graft.merge.fuseStats", "1") == "1"
 
       var statsRows: Array[org.apache.spark.sql.Row] = Array.empty
       var obsOpt: Option[org.apache.spark.sql.Observation] = None
@@ -674,9 +711,9 @@ object lake {
       val newFiles = rawFiles.map(f =>
         f.copy(lsnMin = perBucket.get(f.bucket).map(_._1).getOrElse(-1L),
           lsnMax = perBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
-      val next = cur.copy(version = nextVersion, epochId = epochId,
+      val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = cur.files ++ newFiles)
-      val ok = commit(next)
+      val ok = commit(next, fence = epochId >= 0)
       val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
         LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
           newFiles.count(_.bucket == b), 0, nowTs())
@@ -700,7 +737,8 @@ object lake {
             lsnMax = if (o.isEmpty) -1L else o.map(_.lsnMax).max)
         }
       val next = cur.copy(version = cur.version + 1,
-        files = cur.files.filterNot(f => bucketsWithDeltas(f.bucket)) ++ newFiles)
+        files = cur.files.filterNot(f => bucketsWithDeltas(f.bucket)) ++ newFiles,
+        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => bucketsWithDeltas(f.bucket))))
       require(commit(next, fence = false), "delta compaction commit failed")
       bucketsWithDeltas.size
     }
@@ -712,33 +750,24 @@ object lake {
       * with a compaction policy that lags the downstream consumers. */
     def changesSince(sinceVersion: Long): DataFrame = {
       val cur = snapshot
-      val before =
-        try snapshotAt(sinceVersion).files.map(_.path).toSet
+      val sinceSnap =
+        try snapshotAt(sinceVersion)
         catch {
           case e: java.nio.file.NoSuchFileException =>
             throw new IllegalStateException(
               s"changes since v$sinceVersion no longer available: snapshot manifest was vacuumed", e)
         }
-      // completeness check: every delta file added in (since, current] must
-      // still be live — a CoW merge / compaction between then and now folded
-      // deltas into base files, and silently returning the survivors would be
-      // silent data loss for the downstream consumer.
-      val live = cur.files.map(_.path).toSet
-      ((sinceVersion + 1) to cur.version).foreach { v =>
-        val snapV =
-          try snapshotAt(v)
-          catch {
-            case e: java.nio.file.NoSuchFileException =>
-              throw new IllegalStateException(
-                s"changes since v$sinceVersion no longer available: intermediate snapshot v$v was vacuumed", e)
-          }
-        val folded = snapV.files.filter(f =>
-          f.kind == "delta" && !before(f.path) && !live(f.path))
-        if (folded.nonEmpty)
-          throw new IllegalStateException(
-            s"changes since v$sinceVersion no longer available: ${folded.size} delta file(s) " +
-              s"committed at v$v were compacted/merged away (schedule compaction to lag consumers)")
-      }
+      // completeness check, O(1) in commit history: every delta committed
+      // AFTER `since` carries lsn > since.lsnHigh (binlog ordering contract),
+      // so post-since changes were folded away by a CoW merge / compaction
+      // iff the folded high-watermark exceeds since.lsnHigh — silently
+      // returning the survivors would be silent data loss downstream.
+      if (cur.foldedLsnHigh.exists(_ > sinceSnap.lsnHigh))
+        throw new IllegalStateException(
+          s"changes since v$sinceVersion no longer available: delta files committed after it " +
+            s"were compacted/merged away (foldedLsnHigh=${cur.foldedLsnHigh.get} > " +
+            s"sinceLsnHigh=${sinceSnap.lsnHigh}; schedule compaction to lag consumers)")
+      val before = sinceSnap.files.map(_.path).toSet
       val newDeltas = cur.files.filter(f => f.kind == "delta" && !before(f.path))
       readFileGroup(cur, newDeltas, withMeta = true)
     }
@@ -779,7 +808,8 @@ object lake {
           lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
       }
       val next = cur.copy(version = cur.version + 1,
-        files = cur.files.filterNot(f => buckets(f.bucket)) ++ newFiles)
+        files = cur.files.filterNot(f => buckets(f.bucket)) ++ newFiles,
+        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => buckets(f.bucket))))
       require(commit(next, fence = false), "compaction commit failed")
       buckets.size
     }

@@ -44,7 +44,12 @@ object dedup {
     * by ngramJaccard and minhashLsh, so the CacheManager computes it once per
     * corpus. At scale this replaces any shingle self-join: candidate pairs
     * come from exploding per-shingle posting-list combinations, whose cost is
-    * bounded by the document-frequency cut, never by corpus size. */
+    * bounded by the document-frequency cut, never by corpus size.
+    *
+    * Cache lifecycle: deliberately left to the session (Verify/Bench runs are
+    * short-lived and re-query the same corpus; Spark evicts LRU under
+    * pressure). Long-lived services cycling many corpora should call
+    * `spark.catalog.clearCache()` between corpora. */
   private def shinglePosts(spark: SparkSession, dir: String): DataFrame =
     rawShingles(spark, dir)
       .groupBy(col("lang"), col("s"))

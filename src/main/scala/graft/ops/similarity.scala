@@ -100,14 +100,20 @@ object similarity {
       .select(col("vec_id").cast("int").as("cell"), col("emb").as("centroid"))
 
     // Lloyd step: elementwise mean per cell, also pure DataFrame ops —
-    // centroid count stays data, not code
+    // centroid count stays data, not code. A cell that loses every member
+    // keeps its previous centroid (same semantics as the classic
+    // keep-empty-cells Lloyd variant), so the quantizer never shrinks.
     (0 until lloydIters).foreach { _ =>
-      centroids = assign(e, centroids)
+      val means = assign(e, centroids)
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cell"), transform(col("ps"), p => p.getField("m")).as("centroid"))
+      centroids = means.unionByName(
+        centroids.join(means.select("cell"), Seq("cell"), "left_anti"))
     }
+    // tiny (nCells rows) but derived from full-corpus scans when Lloyd ran;
+    // cached because it feeds both the corpus assignment and the query probes
     centroids = centroids.cache()
 
     val corpus = assign(e, centroids)

@@ -108,6 +108,18 @@ class CdcReplaySpec extends SparkSuite {
     }
     assert(table.snapshot.version == vBefore)
     assertGolden(table, cfg)
+
+    // an UNFENCED ad-hoc merge (epochId = -1) must carry the fence forward,
+    // not regress it — otherwise the fenced replays above would re-apply
+    import org.apache.spark.sql.functions.lit
+    val adhoc = all.filter(col("lsn") < 10)
+      .select(lit(999999L).as("lsn"), lit("U").as("op"),
+        lit("rX").as("repo"), lit("pX").as("path"),
+        col("commit"), col("lang"), col("content"))
+    assert(table.merge(adhoc, epochId = -1L).committed, "unfenced merge must apply")
+    assert(table.snapshot.epochId == 3L, "unfenced merge must not regress the epoch fence")
+    val again = engine.applyEpoch(all.filter(col("lsn") < 1250), 0)
+    assert(!again.committed, "committed epochs must stay fenced after an unfenced merge")
   }
 
   test("resume from checkpoint: restart mid-stream reconverges to the same state") {
