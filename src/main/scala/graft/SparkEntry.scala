@@ -10,9 +10,9 @@ import graft.ops._
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
   * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
-  * `oracleSql` carries the DuckDB-equivalent SQL for every SQL-expressible
-  * query (34 of 38); hash-based ops (minhash/simhash/LSH+IVF-ANN) are
-  * rows-only checked.
+  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (41 of 41) —
+  * including the hash-sketch/ANN family, whose sha256-derived components and
+  * literal-embedded hyperplane/centroid geometry are bit-reproducible in SQL.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
