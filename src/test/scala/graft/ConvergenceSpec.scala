@@ -99,6 +99,43 @@ class ConvergenceSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: MIXED CoW/MoR epochs converge to the oracle (CoW merges fold outstanding deltas)") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    val cfgGen = for {
+      n <- SGen.choose(2000L, 5000L)
+      keys <- SGen.choose(200L, 1500L)
+      del <- SGen.choose(0, 40)
+      epochs <- SGen.choose(2, 5)
+      modes <- SGen.listOfN(epochs, SGen.oneOf(true, false)) // true = MoR epoch
+      compactAtEnd <- SGen.oneOf(true, false)
+    } yield (gen.GenConfig(n = n, nKeys = keys, deletePct = del, numPartitions = 4),
+      modes, compactAtEnd)
+    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, modes, compactAtEnd) =>
+      val table = LakeTable.createIfNotExists(spark, tmpDir("prop-mixed"), "t",
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+      val reg = SchemaRegistry.single(RepoRow.schemaV1)
+      val cow = new ReplayEngine(table, reg, mode = MergeMode.CoW)
+      val mor = new ReplayEngine(table, reg, mode = MergeMode.MoR)
+      val all = gen.changeEvents(spark, cfg)
+      val epochs = modes.size
+      val per = (cfg.n + epochs - 1) / epochs
+      modes.zipWithIndex.foreach { case (isMor, e) =>
+        val eng = if (isMor) mor else cow
+        eng.applyEpoch(all.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      }
+      if (compactAtEnd) table.compactDeltas()
+      val got = table.read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      val exp = gen.oracleFinalState(cfg)
+      got.size == exp.size && exp.forall { case (k, e) =>
+        got.get(k).contains(gen.sha256Hex(e.content))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("optimistic concurrency: losing a commit race is rejected, state intact") {
     val root = tmpDir("race")
     val a = LakeTable.createIfNotExists(spark, root, "t", RepoRow.schemaV1, RepoRow.keyColumns, 4)
