@@ -10,7 +10,7 @@ import graft.ops._
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
   * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
-  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (41 of 41) —
+  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (42 of 42) —
   * including the hash-sketch/ANN family, whose sha256-derived components and
   * literal-embedded hyperplane/centroid geometry are bit-reproducible in SQL.
   */
@@ -55,6 +55,7 @@ object SparkEntry {
     "q25_ngram_jaccard" -> ((s, d) => dedup.ngramJaccard(s, d, 0.8)),
     "q26_minhash_lsh" -> ((s, d) => dedup.minhashLsh(s, d)),
     "q27_simhash" -> ((s, d) => dedup.simhash(s, d)),
+    "q36_winnow" -> ((s, d) => dedup.winnow(s, d)),
     // similarity search
     "q28_cosine_pairs" -> ((s, d) => similarity.cosinePairs(s, d, maxQueryId = 10, threshold = 0.3)),
     "q29_ann_topk" -> ((s, d) => similarity.bruteForceTopK(s, d)),
@@ -323,6 +324,18 @@ object SparkEntry {
          SELECT d1, d2, round(CAST(i AS DOUBLE)/(x.n + y.n - i), 6) AS jaccard
          FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
          WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8 ORDER BY d1, d2""",
+    "q36_winnow" ->
+      """WITH d AS (SELECT doc_id, substr(text,1,512) AS t FROM documents),
+         g AS (SELECT doc_id, list_transform(range(1, greatest(length(t)-7, 1)+1),
+                 i -> substr(sha256(substr(t, i, 8)),1,16)) AS hs FROM d),
+         f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-3, 1)+1),
+                 j -> list_min(hs[j:j+3]))) AS fps FROM g),
+         e AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f),
+         keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 8),
+         e2 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+                   FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1,2)
+         SELECT d1, d2, shared FROM pairs WHERE shared >= 4 ORDER BY d1, d2""",
     "q26_minhash_lsh" -> minhashOracleSql,
     "q27_simhash" -> simhashOracleSql,
     "q29b_ann_lsh" -> annLshOracleSql,

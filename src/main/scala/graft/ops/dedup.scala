@@ -169,6 +169,45 @@ object dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., the MOSS algorithm):
+    * character k-gram rolling hashes, one fingerprint per sliding window =
+    * the window's minimal hash, near-dup pairs = documents sharing >=
+    * `minShared` selected fingerprints (guarantee: any substring match of
+    * length >= w+k-1 is detected).
+    *
+    * All per-document work is array expressions inside one codegen'd
+    * projection — zero shuffles until the fingerprint posting-list grouping,
+    * which is the same bounded-df inverted index ngramJaccard uses. Hashes
+    * are sha256 hex slices so the DuckDB oracle reproduces the selection
+    * bit-for-bit; a production xxhash64 swap keeps the identical shape.
+    * `maxChars` bounds per-doc cost (standard practice: fingerprint a
+    * prefix/sample at corpus scale). */
+  def winnow(spark: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+      maxChars: Int = 512, dfMax: Int = 8, minShared: Int = 4): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, maxChars).as("t"))
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+      i => col("t").substr(i, lit(k)))
+    val hashes = transform(col("grams"), g => substring(sha2(g, 256), 1, 16))
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+      j => array_min(slice(col("hs"), j, lit(w)))))
+    val e = d.withColumn("grams", grams).withColumn("hs", hashes)
+      .select(col("doc_id"), explode(fps).as("fp"))
+    val posts = e.groupBy(col("fp")).agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= dfMax && size(col("ds")) >= 2)
+    val sorted = array_sort(col("ds"))
+    val pairs = posts
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    pairs.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Embedding-cosine near-dup pairs (see [[similarity.cosine]]) over a
     * restricted probe set — full ANN lives in [[similarity]]. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
