@@ -10,7 +10,7 @@ import graft.ops._
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
   * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
-  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (42 of 42) —
+  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (43 of 43) —
   * including the hash-sketch/ANN family, whose sha256-derived components and
   * literal-embedded hyperplane/centroid geometry are bit-reproducible in SQL.
   */
@@ -74,6 +74,7 @@ object SparkEntry {
     "q30_cdc_replay" -> (cdcq.replay _),
     "q30b_cdc_replay_mor" -> (cdcq.replayMor _),
     "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
+    "q37_sql_over_lake" -> (cdcq.sqlOverLake _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -398,6 +399,15 @@ object SparkEntry {
                 concat('p/', CAST(user_id AS VARCHAR)) AS path,
                 CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
          FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    "q37_sql_over_lake" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         t AS (SELECT event_type AS lang, CAST(event_id AS VARCHAR) AS commit_id,
+                      concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo
+               FROM c WHERE event_type <> 'error')
+         SELECT lang, count(*) AS n_files, count(DISTINCT repo) AS n_repos,
+                max(commit_id) AS max_commit
+         FROM t GROUP BY lang ORDER BY lang""",
     "q31_cdc_schema_evolution" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -134,6 +134,31 @@ object cdcq {
     audit
   }
 
+  /** The lake table through the Spark SQL surface: replay the stream, expose
+    * the table state as a temp view via [[LakeTable.createView]], and answer
+    * with `spark.sql` — the engine's tables are first-class SQL citizens
+    * (views bind a snapshot, so concurrent commits don't shift results). */
+  def sqlOverLake(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-sql").toString
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
+    val epochs = 2
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+    }
+    changes.unpersist()
+    table.createView("repo_files_v")
+    spark.sql(
+      """SELECT lang, COUNT(*) AS n_files, COUNT(DISTINCT repo) AS n_repos,
+                MAX(commit_id) AS max_commit
+         FROM repo_files_v GROUP BY lang ORDER BY lang""")
+  }
+
   /** Timeliness SLO job (reference src/metadata/slo/timeliness.py): events
     * stand in for job runs (job = event_type, period_end_time = ts, run
     * succeeded iff value >= 1). Derives per-(day, job) ready_by_09 and
