@@ -35,6 +35,21 @@ class MaintenanceSpec extends SparkSuite {
     assert(table.readAt(hist(2)).count() == expected.size)
   }
 
+  test("createView binds a snapshot: MVCC reads are stable across later commits") {
+    val (table, _) = build(2)
+    table.createView("mvcc_v")
+    val before = spark.sql("SELECT count(*) FROM mvcc_v").collect()(0).getLong(0)
+    // a later epoch commits more data; the bound view must NOT shift
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val more = gen.changeEvents(spark, gen.GenConfig(n = 12000, nKeys = 800, numPartitions = 4))
+    assert(engine.applyEpoch(more.filter(col("lsn") >= 8000), 2).committed)
+    assert(spark.sql("SELECT count(*) FROM mvcc_v").collect()(0).getLong(0) == before,
+      "a view bound before the commit must keep reading its snapshot")
+    // re-binding picks up the new state
+    table.createView("mvcc_v")
+    assert(spark.sql("SELECT count(*) FROM mvcc_v").collect()(0).getLong(0) > before)
+  }
+
   test("compaction merges small files and preserves content exactly") {
     // small files accumulate on APPEND-shaped tables (audit/lineage/metrics);
     // merge tables rewrite whole buckets so they stay one file per bucket
