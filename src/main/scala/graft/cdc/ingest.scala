@@ -147,6 +147,13 @@ object ingest {
         return EpochResult(committed = false, snap.version,
           EpochMetrics(epochId, 0, 0, 0, 0, 0.0), Nil)
       }
+      if (knownInputCount.contains(0L)) {
+        // known-empty batch: skip before any write — the dense paths would
+        // otherwise run their (fused-stats) write first and only then skip
+        // the commit, leaving the written files as vacuum-able orphans
+        return EpochResult(committed = false, snap.version,
+          EpochMetrics(epochId, 0, 0, 0, 0, 0.0), Nil)
+      }
 
       // 1. conform payload to the table's current schema version (additive
       //    evolution: old-version events null-fill / widen into the new shape),
@@ -202,12 +209,13 @@ object ingest {
       //    Verified replay fuses its sha256 checksum into the SAME job the
       //    same way — verify mode costs sha CPU, not an extra batch scan.
       val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
-      // checksum fusion only on the DENSE path: sparse merges run a narrow
-      // stats pre-pass over (keys, lsn, op), and an Observation upstream
-      // would drag `content` (and its sha256) into that scan too — the
-      // separate post-commit pass is strictly cheaper there
+      // checksum fusion only when the merge itself fuses its stats (same
+      // predicate, via LakeTable.willFuseStats): on the sparse / >64-bucket /
+      // kill-switched paths a narrow stats pre-pass runs first, and an
+      // Observation upstream would drag `content` (and its sha256) into that
+      // scan too — the separate post-commit pass is strictly cheaper there
       val csObs =
-        if (verifyChecksums && dense)
+        if (verifyChecksums && table.willFuseStats(snap, dense))
           Some(org.apache.spark.sql.Observation(s"cs-$epochId-${java.util.UUID.randomUUID()}"))
         else None
       val gated = csObs match {

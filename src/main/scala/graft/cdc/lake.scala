@@ -303,7 +303,6 @@ object lake {
       * scan of the data). */
     private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
         repartitionByBucket: Boolean = true, kind: String = "base"): Seq[DataFile] = {
-      val lsnByBucket = Map.empty[Int, (Long, Long)] // callers stamp lsn ranges post-hoc
       val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
       val metaCols = if (kind == "delta") Seq(col("lsn"), col("op")) else Nil
       val cols = metaCols ++ snap.schema.fieldNames.map(col)
@@ -320,9 +319,9 @@ object lake {
       paths.asJava.parallelStream().map[DataFile] { p =>
         val rel = Paths.get(root).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
-        val (lsnMin, lsnMax) = lsnByBucket.getOrElse(bucket, (-1L, -1L))
+        // lsn ranges are stamped post-hoc by callers (they know the batch stats)
         DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion,
-          lsnMin, lsnMax, kind)
+          -1L, -1L, kind)
       }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
 
@@ -346,6 +345,17 @@ object lake {
 
     private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
 
+    /** Whether a merge/deltaAppend for this snapshot will fuse its per-bucket
+      * stats into the write job as observed metrics (dense path) instead of
+      * running the narrow stats pre-pass. Callers that want to piggyback
+      * their own Observations on the write job (verified-replay checksum,
+      * fused quality gate) MUST gate on this same predicate — an upstream
+      * Observation on the sparse path would drag every observed column into
+      * the narrow (keys, lsn, op) pre-pass scan. */
+    def willFuseStats(snap: Snapshot, assumeFullTouch: Boolean): Boolean =
+      assumeFullTouch && snap.numBuckets <= 64 &&
+        System.getProperty("graft.merge.fuseStats", "1") == "1"
+
     /** Fold removed delta files' lsn range into the snapshot-level
       * high-watermark (see Snapshot.foldedLsnHigh). */
     private def foldDeltas(cur: Snapshot, removed: Seq[DataFile]): Option[Long] = {
@@ -357,14 +367,17 @@ object lake {
     /** Full overwrite (reference: src/models/writer.py:34-40). An unfenced
       * write (epochId = -1) carries the current fence FORWARD rather than
       * regressing it — otherwise a later crash-replay of already-committed
-      * epochs would re-apply them. */
+      * epochs would re-apply them. Overwrite discards ALL current files,
+      * including outstanding MoR deltas, so their lsn range is folded into
+      * foldedLsnHigh — otherwise changesSince(v) across the overwrite would
+      * silently return an incomplete feed instead of throwing. */
     def overwrite(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
       val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
-      val next = next0.copy(files = files)
+      val next = next0.copy(files = files, foldedLsnHigh = foldDeltas(cur, cur.files))
       val ok = commit(next, fence = epochId >= 0)
       val lin = files.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
@@ -483,8 +496,7 @@ object lake {
       // 64 buckets; beyond that (production: 4096+) the narrow aggregate
       // pre-pass below stays the right shape (its cost amortizes over the
       // proportionally larger epoch).
-      if (assumeFullTouch && cur.numBuckets <= 64 &&
-          System.getProperty("graft.merge.fuseStats", "1") == "1")
+      if (willFuseStats(cur, assumeFullTouch))
         return mergeDense(batch, epochId, cur)
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
@@ -649,9 +661,12 @@ object lake {
       val nonKey = payload.filterNot(keys.contains)
       // dense epochs: fuse the per-bucket stats into the winners job as
       // observed metrics (see mergeDense) — one job, no batch pre-pass
-      // (same kill-switch as the CoW path)
-      val fuseStats = assumeFullTouch && cur.numBuckets <= 64 &&
-        System.getProperty("graft.merge.fuseStats", "1") == "1"
+      // (same kill-switch as the CoW path). Same empty-batch contract as
+      // mergeDense: an actually-empty batch stays CORRECT (zero observed
+      // counts skip the commit) but its already-written delta files become
+      // vacuum-able orphans — assumeFullTouch callers assert non-trivial
+      // batches (ReplayEngine gates on knownInputCount).
+      val fuseStats = willFuseStats(cur, assumeFullTouch)
 
       var statsRows: Array[org.apache.spark.sql.Row] = Array.empty
       var obsOpt: Option[org.apache.spark.sql.Observation] = None

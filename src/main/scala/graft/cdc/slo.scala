@@ -40,11 +40,13 @@ object slo {
         .agg((max(when(hour(col("period_end_time")) < cutoffHour, 1).otherwise(0)) === 1)
           .as("ready_by_09"))
 
-    /** Upsert derived rows (MERGE keyed on (date, job_name); lsn = epoch day
-      * ordinal so a re-derived day deterministically wins). */
+    /** Upsert derived rows (MERGE keyed on (date, job_name)). lsn packs
+      * (day ordinal << 32) | epochId — the 32-bit epoch field cannot collide
+      * across days, so a re-derived day deterministically wins over any
+      * earlier derivation of the same day regardless of run cadence. */
     def upsert(table: LakeTable, derived: DataFrame, epochId: Long): CommitResult =
       table.merge(derived.select(
-        (datediff(col("date"), lit("1970-01-01")).cast(LongType) * 10000L + epochId).as("lsn"),
+        (datediff(col("date"), lit("1970-01-01")).cast(LongType) * (1L << 32) + epochId).as("lsn"),
         lit("U").as("op"),
         col("date"), col("job_name"), col("ready_by_09")), epochId)
   }
@@ -61,10 +63,21 @@ object slo {
     val keyColumns: Seq[String] = Seq("run_id")
 
     /** Aggregate the audit table: #checks fired and #rows failed, split by
-      * criticality, per run. */
+      * criticality, per run.
+      *
+      * Error-aborted epochs append audit rows UNFENCED (at-least-once, see
+      * ReplayEngine), so a crash-retry loop on the same failing epoch can
+      * leave duplicate audit rows for one (run_id, check). The inner
+      * max(failed_rows) per (run_id, criticality, function) collapses those
+      * retries before counting — the SLO metric reflects the run's failures,
+      * not its retry count. (function = check_name(column), the per-check
+      * identity.) */
     def derive(audit: DataFrame): DataFrame = {
       val isErr = col("criticality") === "error"
-      audit.groupBy(col("run_id"))
+      audit
+        .groupBy(col("run_id"), col("criticality"), col("function"))
+        .agg(max("failed_rows").as("failed_rows"))
+        .groupBy(col("run_id"))
         .agg(
           sum(when(isErr, 1L).otherwise(0L)).as("error_count"),
           sum(when(!isErr, 1L).otherwise(0L)).as("warning_count"),
@@ -72,9 +85,12 @@ object slo {
           sum(when(!isErr, col("failed_rows")).otherwise(0L)).as("warn_rows"))
     }
 
+    /** MERGE keyed on run_id; lsn packs (run_id << 32) | epochId so a newer
+      * re-derivation of the same run deterministically wins (see
+      * TimelinessSlo.upsert for the collision rationale). */
     def upsert(table: LakeTable, derived: DataFrame, epochId: Long): CommitResult =
       table.merge(derived.select(
-        (col("run_id") * 10000L + epochId).as("lsn"),
+        (col("run_id") * (1L << 32) + epochId).as("lsn"),
         lit("U").as("op"),
         col("run_id"), col("error_count"), col("warning_count"),
         col("error_rows"), col("warn_rows")), epochId)

@@ -79,6 +79,28 @@ class MorSpec extends SparkSuite {
     assert(changes.count() > 0)
   }
 
+  test("overwrite folds outstanding deltas: changesSince across it refuses, no silent loss") {
+    import spark.implicits._
+    val table = LakeTable.createIfNotExists(spark, tmpDir("mor-ow"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    def ev(lsn: Long, op: String, path: String, content: String) =
+      (lsn, op, "r", path, s"c$lsn", "scala", content)
+    engine.applyEpoch(Seq(ev(1, "I", "a", "a1"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 0)
+    val mark = table.snapshot.version
+    // a delta committed after `mark`...
+    engine.applyEpoch(Seq(ev(2, "U", "a", "a2"))
+      .toDF("lsn", "op", "repo", "path", "commit", "lang", "content"), 1)
+    // ...then an overwrite discards the file list wholesale (deltas included)
+    table.overwrite(Seq(("r", "a", "c9", "scala", "a9"))
+      .toDF("repo", "path", "commit", "lang", "content"))
+    // the post-mark change rows are gone — changesSince must THROW, not
+    // silently return an empty/incomplete feed
+    val e = intercept[IllegalStateException](table.changesSince(mark))
+    assert(e.getMessage.contains("no longer available"), e.getMessage)
+  }
+
   test("MoR with duplicates and deletes: tombstones win until a later upsert") {
     import spark.implicits._
     val table = LakeTable.createIfNotExists(spark, tmpDir("mor-d"), "t",

@@ -50,10 +50,27 @@ class SloSpec extends SparkSuite {
 
   test("quality: audit rows aggregate to per-run counts split by criticality") {
     val audit = Seq(
-      ("warn", 3L, 7L), ("warn", 3L, 2L), ("error", 3L, 1L), ("warn", 4L, 5L))
-      .toDF("criticality", "run_id", "failed_rows")
+      ("warn", 3L, 7L, "is_in_list(lang)"),
+      ("warn", 3L, 2L, "min_value(value)"),
+      ("error", 3L, 1L, "is_not_null(repo)"),
+      ("warn", 4L, 5L, "is_in_list(lang)"))
+      .toDF("criticality", "run_id", "failed_rows", "function")
     val got = QualitySlo.derive(audit).orderBy("run_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == Seq((3L, 1L, 2L, 1L, 9L), (4L, 0L, 1L, 0L, 5L)))
+  }
+
+  test("quality: crash-retry duplicate audit rows do not inflate the SLO") {
+    // an error-aborted epoch appends its audit rows unfenced (at-least-once);
+    // three retries of the same failing run leave three copies of each row —
+    // derive must count the run's failures once, not x retries
+    val oneAttempt = Seq(
+      ("error", 7L, 4L, "is_not_null(repo)"),
+      ("warn", 7L, 2L, "min_value(value)"))
+    val audit = (oneAttempt ++ oneAttempt ++ oneAttempt)
+      .toDF("criticality", "run_id", "failed_rows", "function")
+    val got = QualitySlo.derive(audit).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((7L, 1L, 1L, 4L, 2L)))
   }
 }
