@@ -69,6 +69,8 @@ object SparkEntry {
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end
     "q32_dq_audit" -> (cdcq.dqAudit _),
+    "q38_dq_quarantine" -> (cdcq.dqQuarantine _),
+    "q38b_dq_unique" -> (cdcq.dqUniqueness _),
     "q34_slo_timeliness" -> (cdcq.sloTimeliness _),
     "q35_slo_quality" -> (cdcq.sloQuality _),
     "q30_cdc_replay" -> (cdcq.replay _),
@@ -371,6 +373,27 @@ object SparkEntry {
                 FROM f WHERE value < 1.0 GROUP BY 1)
          SELECT * FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
          ORDER BY job_id, check_name""",
+    "q38_dq_quarantine" ->
+      """WITH f AS (SELECT event_id AS lsn,
+                    event_id // ((SELECT (max(event_id)+4)//4 FROM events)) AS epoch,
+                    concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                    concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                    event_type AS lang, value
+                    FROM events WHERE event_type <> 'error')
+         SELECT lsn, epoch, repo, path, lang, value,
+           '[' || concat_ws(',',
+             CASE WHEN lang NOT IN ('click','view')
+               THEN '{"name":"is_in_list","columns":["lang"],"function":"is_in_list(lang)"}' END,
+             CASE WHEN value < 1.0
+               THEN '{"name":"min_value","columns":["value"],"function":"min_value(value)"}' END)
+           || ']' AS _warnings
+         FROM f WHERE lang NOT IN ('click','view') OR value < 1.0
+         ORDER BY lsn""",
+    "q38b_dq_unique" ->
+      """WITH g AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+         SELECT 'error' AS criticality, 'is_unique' AS check_name, 'user_id' AS col_name,
+                CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS failed_rows
+         FROM g""",
     "q34_slo_timeliness" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type AS job_name,
          max(CASE WHEN hour(ts) < 9 THEN 1 ELSE 0 END) = 1 AS ready_by_09

@@ -133,6 +133,37 @@ object ingest {
       table.spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
     }
 
+    /** Persist gate failures (audit summaries + quarantined rows), then abort
+      * on error-level failures. With an audit table attached, warn+error
+      * summaries are appended FIRST — errors are persisted before the abort,
+      * reference-style (_handle_errors, data_quality_evaluator.py:88-93).
+      *
+      * Idempotence policy: audit/quarantine appends for epochs that will
+      * COMMIT are fenced at this epochId, so a crash-replay of an
+      * already-committed epoch cannot double-count failures in the SLO.
+      * Error-aborted attempts append UNFENCED (at-least-once) so a corrected
+      * resubmission of the same epoch id still gets its failures audited
+      * (QualitySlo.derive dedupes the retries). */
+    private def persistFailuresAndMaybeAbort(g: quality.QualityGate,
+        failures: Seq[quality.CheckFailure], withMeta: DataFrame, epochId: Long): Unit = {
+      val hasErrors = failures.exists(_.criticality == "error")
+      val fenceId = if (hasErrors) -1L else epochId
+      auditTable.foreach { at =>
+        at.append(quality.DataQualityChecks.auditRows(
+          table.spark, failures, table.name, jobId = epochId, runId = epochId),
+          epochId = fenceId)
+      }
+      quarantineTable.foreach { qt =>
+        val quarantine = g.split(withMeta.where(col("op") =!= "D")).quarantine
+          .withColumn("epoch", lit(epochId))
+          .withColumn("_warnings", to_json(col("_warnings")))
+          .withColumn("_errors", to_json(col("_errors")))
+        qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*),
+          epochId = fenceId)
+      }
+      if (hasErrors) throw new quality.QualityGateError(failures.filter(_.criticality == "error"))
+    }
+
     /** Apply one epoch of change events. `events` must carry `lsn`, `op`, and
       * payload columns for some registry version (extra columns are dropped by
       * conform; missing newer columns are null-filled).
@@ -168,36 +199,28 @@ object ingest {
       }
 
       // 2. quality gate (errors abort the epoch pre-commit; the atomic commit
-      //    means an aborted epoch leaves no partial state). With an audit
-      //    table attached, warn+error summaries are appended FIRST — errors
-      //    are persisted before the abort, reference-style — and quarantined
-      //    rows are persisted when a quarantine table is attached.
+      //    means an aborted epoch leaves no partial state). Two shapes:
+      //    - FUSED (dense path): the gate's violation-count aggregates ride
+      //      the merge job itself as an Observation, resolved after the write
+      //      but BEFORE the commit (LakeTable's preCommit hook) — a clean
+      //      gated dense epoch is ONE Spark job, no separate gate scan; an
+      //      error-level failure aborts pre-commit and the written files are
+      //      unreferenced, vacuum-able orphans.
+      //    - SEPARATE (sparse / >64-bucket / kill-switched, same predicate
+      //      as stats fusion via willFuseStats): one aggregate job before the
+      //      write — an upstream Observation would drag every gated column
+      //      into the sparse path's narrow stats pre-pass scan, and aborting
+      //      before the write is strictly cheaper there anyway.
+      val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
+      val fuse = table.willFuseStats(snap, dense)
+      var gateObs: Option[org.apache.spark.sql.Observation] = None
       gate.foreach { g =>
-        val gated = withMeta.where(col("op") =!= "D")
-        val failures = g.evaluate(gated)
-        if (failures.nonEmpty) {
-          // Idempotence policy: audit/quarantine appends for epochs that will
-          // COMMIT are fenced at this epochId, so a crash-replay of an
-          // already-committed epoch cannot double-count failures in the SLO.
-          // Error-aborted attempts append UNFENCED (at-least-once, like the
-          // reference's _handle_errors) so a corrected resubmission of the
-          // same epoch id still gets its failures audited.
-          val hasErrors = failures.exists(_.criticality == "error")
-          val fenceId = if (hasErrors) -1L else epochId
-          auditTable.foreach { at =>
-            at.append(quality.DataQualityChecks.auditRows(
-              table.spark, failures, table.name, jobId = epochId, runId = epochId),
-              epochId = fenceId)
-          }
-          quarantineTable.foreach { qt =>
-            val quarantine = g.split(gated).quarantine
-              .withColumn("epoch", lit(epochId))
-              .withColumn("_warnings", to_json(col("_warnings")))
-              .withColumn("_errors", to_json(col("_errors")))
-            qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*),
-              epochId = fenceId)
-          }
-          if (hasErrors) throw new quality.QualityGateError(failures.filter(_.criticality == "error"))
+        if (g.checks.nonEmpty && fuse) {
+          gateObs = Some(org.apache.spark.sql.Observation(
+            s"gate-$epochId-${java.util.UUID.randomUUID()}"))
+        } else {
+          val failures = g.evaluate(withMeta.where(col("op") =!= "D"))
+          if (failures.nonEmpty) persistFailuresAndMaybeAbort(g, failures, withMeta, epochId)
         }
       }
 
@@ -208,23 +231,30 @@ object ingest {
       //    (per-bucket stats ride the merge job as observed metrics).
       //    Verified replay fuses its sha256 checksum into the SAME job the
       //    same way — verify mode costs sha CPU, not an extra batch scan.
-      val dense = knownInputCount.exists(_ >= snap.numBuckets.toLong * 32)
-      // checksum fusion only when the merge itself fuses its stats (same
-      // predicate, via LakeTable.willFuseStats): on the sparse / >64-bucket /
-      // kill-switched paths a narrow stats pre-pass runs first, and an
-      // Observation upstream would drag `content` (and its sha256) into that
-      // scan too — the separate post-commit pass is strictly cheaper there
       val csObs =
-        if (verifyChecksums && table.willFuseStats(snap, dense))
+        if (verifyChecksums && fuse)
           Some(org.apache.spark.sql.Observation(s"cs-$epochId-${java.util.UUID.randomUUID()}"))
         else None
-      val gated = csObs match {
-        case Some(o) => withMeta.observe(o, sum(crc32(sha2(col("content"), 256))).as("cs"))
+      val withGateObs = gateObs match {
+        case Some(o) =>
+          val aggs = gate.get.observedAggs(col("op") =!= "D")
+          withMeta.observe(o, aggs.head, aggs.tail: _*)
         case None => withMeta
       }
+      val gated = csObs match {
+        case Some(o) => withGateObs.observe(o, sum(crc32(sha2(col("content"), 256))).as("cs"))
+        case None => withGateObs
+      }
+      // fused-gate resolution: runs inside merge/deltaAppend after the write
+      // job (Observation resolved) and before the snapshot commit
+      val preCommit: () => Unit = () => gateObs.foreach { o =>
+        val g = gate.get
+        val failures = g.failuresFromObserved(o.get)
+        if (failures.nonEmpty) persistFailuresAndMaybeAbort(g, failures, withMeta, epochId)
+      }
       val res = mode match {
-        case MergeMode.CoW => table.merge(gated, epochId, assumeFullTouch = dense)
-        case MergeMode.MoR => table.deltaAppend(gated, epochId, assumeFullTouch = dense)
+        case MergeMode.CoW => table.merge(gated, epochId, assumeFullTouch = dense, preCommit)
+        case MergeMode.MoR => table.deltaAppend(gated, epochId, assumeFullTouch = dense, preCommit)
       }
 
       // 5. verified-replay checksum: observed on the merge job itself (dense)

@@ -485,8 +485,15 @@ object lake {
       * lsn = -1 (they always lose to the current batch, which is exactly the
       * in-order-tail semantics). MoR delta rows keep their true LSNs, so a
       * mixed base/delta/batch merge resolves by real LSN where it exists.
+      *
+      * `preCommit` runs after the write job completes (any Observations on
+      * `batch` have resolved) but BEFORE the snapshot commit — throwing from
+      * it aborts the epoch with zero committed state (the written files are
+      * unreferenced, vacuum-able orphans). The ReplayEngine fuses the
+      * quality gate here on the dense path.
       */
-    def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
+    def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false,
+        preCommit: () => Unit = () => ()): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       // Dense epochs (most buckets touched) skip the stats pre-pass entirely:
@@ -497,7 +504,7 @@ object lake {
       // pre-pass below stays the right shape (its cost amortizes over the
       // proportionally larger epoch).
       if (willFuseStats(cur, assumeFullTouch))
-        return mergeDense(batch, epochId, cur)
+        return mergeDense(batch, epochId, cur, preCommit)
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
       val nonKey = payload.filterNot(keys.contains)
@@ -538,6 +545,7 @@ object lake {
       val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles,
         foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => touched(f.bucket))))
+      preCommit()
       val ok = commit(next, fence = epochId >= 0)
       val removedByBucket = cur.files.filter(f => touched(f.bucket)).groupBy(_.bucket)
       val lin = statsRows.map { r =>
@@ -564,7 +572,8 @@ object lake {
       * and its files are left as vacuum-able orphans; emptiness cannot be
       * known earlier without a pre-pass, which is the very job this path
       * exists to avoid. */
-    private def mergeDense(batch: DataFrame, epochId: Long, cur: Snapshot): CommitResult = {
+    private def mergeDense(batch: DataFrame, epochId: Long, cur: Snapshot,
+        preCommit: () => Unit = () => ()): CommitResult = {
       val payload = cur.schema.fieldNames.toSeq
       val nb = cur.numBuckets
       val obs = org.apache.spark.sql.Observation(s"merge-stats-${UUID.randomUUID()}")
@@ -589,6 +598,7 @@ object lake {
       val nextVersion = cur.version + 1
       val rawFiles = timed("merge:agg+write")(writeBucketed(merged, cur, nextVersion,
         repartitionByBucket = false))
+      preCommit() // batch Observations have resolved; abort here = zero committed state
 
       val m = obs.get
       def metric(n: String): Option[Long] =
@@ -653,7 +663,8 @@ object lake {
       * [[compactDeltas]] (or any CoW merge touching the bucket) folds them
       * into base files. The MoR trade: epoch apply cost ~ batch size instead
       * of ~ touched-bucket size; read cost grows with outstanding deltas. */
-    def deltaAppend(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false): CommitResult = {
+    def deltaAppend(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false,
+        preCommit: () => Unit = () => ()): CommitResult = {
       val cur = snapshot
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val keys = cur.keyColumns
@@ -702,6 +713,7 @@ object lake {
       val nextVersion = cur.version + 1
       val rawFiles = timed("merge:delta+write")(writeBucketed(winners, cur, nextVersion,
         repartitionByBucket = false, kind = "delta"))
+      preCommit() // see merge(): abort here leaves only vacuum-able orphans
 
       // resolve stats: either from the pre-pass rows or the observed metrics
       val perBucket: Map[Int, (Long, Long, Long, Long)] = obsOpt match {

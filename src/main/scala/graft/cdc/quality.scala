@@ -31,6 +31,12 @@ object quality {
   /** One named check = a violation predicate over a column. */
   final case class Check(name: String, column: String, criticality: Criticality, violation: Column)
 
+  /** A keyed (multi-row) check — violations are a property of key GROUPS,
+    * not single rows, so it cannot compile to a row predicate like [[Check]].
+    * The flagship instance is the reference's auto-derived `is_unique` rule
+    * for every table with a PK (data_quality_table.py:51-58). */
+  final case class KeyedCheck(name: String, keys: Seq[String], criticality: Criticality)
+
   object Check {
     /** Derive checks from column metadata, like the reference auto-derives
       * DQX rules from DeltaColumn definitions. */
@@ -57,9 +63,23 @@ object quality {
     * and `_errors` arrays of failure structs for the audit trail. */
   final case class SplitResult(pass: DataFrame, quarantine: DataFrame)
 
-  final class QualityGate(val checks: Seq[Check]) {
-    private def crit(c: Check): String =
-      c.criticality match { case Criticality.Error => "error"; case Criticality.Warn => "warn" }
+  object QualityGate {
+    /** Auto-derive the full gate from a table definition, like the reference
+      * wires DQX rules from DeltaColumn metadata: row checks from column
+      * rules/nullability (Check.fromColumns) plus the keyed `is_unique`
+      * check whenever the table has a primary key
+      * (reference: data_quality_table.py:51-58). */
+    def forTable(t: model.TableDef,
+        uniquenessCriticality: Criticality = Criticality.Error): QualityGate =
+      new QualityGate(
+        Check.fromColumns(t.columns),
+        if (t.primaryKey.nonEmpty) Seq(KeyedCheck("is_unique", t.primaryKey, uniquenessCriticality))
+        else Nil)
+  }
+
+  final class QualityGate(val checks: Seq[Check], val keyedChecks: Seq[KeyedCheck] = Nil) {
+    private def crit(c: Criticality): String =
+      c match { case Criticality.Error => "error"; case Criticality.Warn => "warn" }
 
     /** Evaluate all checks in ONE aggregate job; returns every failure
       * (warn + error) WITHOUT throwing — callers decide (and can persist the
@@ -72,9 +92,43 @@ object quality {
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       checks.zipWithIndex.flatMap { case (c, i) =>
         val n = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (n > 0) Some(CheckFailure(c.name, c.column, crit(c), n)) else None
+        if (n > 0) Some(CheckFailure(c.name, c.column, crit(c.criticality), n)) else None
       }
     }
+
+    /** Evaluate the keyed checks (one shuffle per distinct key set; the gate
+      * currently carries at most one — the PK `is_unique`). `failed_rows` is
+      * every row belonging to a duplicated key group (DQX `is_unique` marks
+      * each such row as failing). At scale this is a partial-aggregatable
+      * groupBy-count — the same shape as [[duplicateKeys]]. */
+    def evaluateKeyed(df: DataFrame): Seq[CheckFailure] =
+      keyedChecks.flatMap { kc =>
+        val n = df.groupBy(kc.keys.map(col): _*).count()
+          .filter(col("count") > 1)
+          .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+        if (n > 0) Some(CheckFailure(kc.name, kc.keys.mkString(","), crit(kc.criticality), n))
+        else None
+      }
+
+    /** Row checks + keyed checks — the full sink-side gate (GatedWriter). */
+    def evaluateAll(df: DataFrame): Seq[CheckFailure] = evaluate(df) ++ evaluateKeyed(df)
+
+    /** The same violation-count aggregates as [[evaluate]], shaped for fusing
+      * into another job as an `Observation` (ride the merge write; no separate
+      * gate scan). `rowFilter` limits which rows the gate applies to (the
+      * engine excludes delete tombstones). Resolve with
+      * [[failuresFromObserved]] after the observed job completes. */
+    def observedAggs(rowFilter: Column): Seq[Column] =
+      checks.zipWithIndex.map { case (c, i) =>
+        sum(when(rowFilter && c.violation, 1L).otherwise(0L)).as(s"gate$i")
+      }
+
+    /** Decode an Observation's metric map produced by [[observedAggs]]. */
+    def failuresFromObserved(m: Map[String, Any]): Seq[CheckFailure] =
+      checks.zipWithIndex.flatMap { case (c, i) =>
+        val n = m.get(s"gate$i").collect { case x: Number => x.longValue }.getOrElse(0L)
+        if (n > 0) Some(CheckFailure(c.name, c.column, crit(c.criticality), n)) else None
+      }
 
     /** Evaluate and throw [[QualityGateError]] if any error-level check fired. */
     def check(df: DataFrame): Seq[CheckFailure] = {
@@ -109,6 +163,40 @@ object quality {
       * /root/reference/src/models/data_quality_table.py:51-58). */
     def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
       df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+  }
+
+  /** DQ-fronted overwrite/append sinks — the reference DeltaWriter contract
+    * (writer.py:34-67): gate (row checks + keyed is_unique) -> persist audit
+    * rows -> abort on error-level failures -> write.
+    *
+    * This is where the auto-derived PK-uniqueness check FIRES: the CDC merge
+    * path makes duplicate PKs structurally impossible in the table (per-key
+    * max-LSN resolution), and a CDC batch legitimately carries multiple
+    * events per key pre-dedup — so the ReplayEngine runs row checks only,
+    * while full overwrite/append sinks (where a buggy upstream CAN land
+    * duplicates) get the keyed checks too. */
+  object GatedWriter {
+    def overwrite(table: lake.LakeTable, df: DataFrame, gate: QualityGate,
+        auditTable: Option[lake.LakeTable] = None, jobId: Long = -1L): lake.CommitResult =
+      gatedWrite(table, df, gate, auditTable, jobId)(d => table.overwrite(d))
+
+    def append(table: lake.LakeTable, df: DataFrame, gate: QualityGate,
+        auditTable: Option[lake.LakeTable] = None, jobId: Long = -1L): lake.CommitResult =
+      gatedWrite(table, df, gate, auditTable, jobId)(d => table.append(d))
+
+    private def gatedWrite(table: lake.LakeTable, df: DataFrame, gate: QualityGate,
+        auditTable: Option[lake.LakeTable], jobId: Long)(
+        write: DataFrame => lake.CommitResult): lake.CommitResult = {
+      val failures = gate.evaluateAll(df)
+      if (failures.nonEmpty) {
+        // errors are persisted BEFORE the abort (reference _handle_errors)
+        auditTable.foreach(at => at.append(DataQualityChecks.auditRows(
+          table.spark, failures, table.name, jobId = jobId, runId = jobId)))
+        val errors = failures.filter(_.criticality == "error")
+        if (errors.nonEmpty) throw new QualityGateError(errors)
+      }
+      write(df)
+    }
   }
 
   private val failureStructType: StructType = StructType(Seq(

@@ -91,23 +91,27 @@ object cdcq {
     * the audit table's deterministic columns, which DuckDB re-derives from
     * the raw events. */
   def dqAudit(spark: SparkSession, dir: String): DataFrame = {
-    val audit = dqReplayAudit(spark, dir)
+    val audit = dqReplayAudit(spark, dir).audit
     audit.read()
       .select(col("job_id"), col("criticality"), col("check_name"),
         col("columns").getItem(0).as("col_name"), col("failed_rows"))
       .orderBy(col("job_id"), col("check_name"))
   }
 
-  /** Replay with seeded warn violations; returns the populated audit table.
-    * Memoized per (session, dir): q32 and q35 both consume this audit table,
-    * and the replay's result is deterministic + immutable once built — the
-    * bench/driver pays the gated replay once, not per consuming query. */
+  /** The two DQ side tables one gated replay populates. */
+  private final case class DqTables(audit: LakeTable, quarantine: LakeTable)
+
+  /** Replay with seeded warn violations; returns the populated audit +
+    * quarantine tables. Memoized per (session, dir): q32, q35 and q38 all
+    * consume these tables, and the replay's result is deterministic +
+    * immutable once built — the bench/driver pays the gated replay once,
+    * not per consuming query. */
   private val auditCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LakeTable]()
-  private def dqReplayAudit(spark: SparkSession, dir: String): LakeTable =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DqTables]()
+  private def dqReplayAudit(spark: SparkSession, dir: String): DqTables =
     auditCache.computeIfAbsent((spark, dir), _ => dqReplayAuditBuild(spark, dir))
 
-  private def dqReplayAuditBuild(spark: SparkSession, dir: String): LakeTable = {
+  private def dqReplayAuditBuild(spark: SparkSession, dir: String): DqTables = {
     import graft.cdc.model._
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val changes = asChanges(spark, dir)
@@ -130,16 +134,74 @@ object cdcq {
       schema, Seq("repo", "path"), numBuckets = 16)
     val audit = LakeTable.createIfNotExists(spark, s"$root/dq", quality.DataQualityChecks.tableName,
       quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 4)
+    // row-level quarantine: deterministic columns only (lsn orders the dump;
+    // _warnings is the to_json'd failure-annotation array)
+    val quarantineSchema = StructType(Seq(
+      StructField("lsn", LongType, nullable = false),
+      StructField("epoch", LongType, nullable = false),
+      StructField("repo", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("lang", StringType),
+      StructField("value", DoubleType),
+      StructField("_warnings", StringType)))
+    val quarantine = LakeTable.createIfNotExists(spark, s"$root/qr", "quarantine",
+      quarantineSchema, Seq("lsn"), numBuckets = 4)
     val engine = new ReplayEngine(table, SchemaRegistry.single(schema),
-      gate = Some(gate), auditTable = Some(audit))
+      gate = Some(gate), auditTable = Some(audit), quarantineTable = Some(quarantine))
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    // per-epoch counts (one aggregate over the cached batch) let the engine
+    // take the dense path, where the gate aggregates ride the merge job as
+    // observed metrics — a gated epoch costs ONE scan, not two
+    val perEpochCounts = changes.groupBy(floor(col("lsn") / per).cast("int").as("_e"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = perEpochCounts.get(e))
     }
     changes.unpersist()
-    audit
+    DqTables(audit, quarantine)
+  }
+
+  /** The quarantined ROWS of the gated replay (reference DQX
+    * apply_checks_and_split, data_quality_evaluator.py:56-65): every event
+    * row that failed a check, with its failure annotations serialized as
+    * JSON. DuckDB re-derives the rows AND the annotation JSON from the raw
+    * events — zero DQ behaviors left value-unchecked. */
+  def dqQuarantine(spark: SparkSession, dir: String): DataFrame =
+    dqReplayAudit(spark, dir).quarantine.read()
+      .select(col("lsn"), col("epoch"), col("repo"), col("path"),
+        col("lang"), col("value"), col("_warnings"))
+      .orderBy(col("lsn"))
+
+  /** The auto-derived PK-uniqueness check firing on a gated OVERWRITE sink
+    * (reference's flagship DQX rule, data_quality_table.py:51-58): raw
+    * events keyed by user_id carry duplicates, the error-level is_unique
+    * check fires, its audit rows persist BEFORE the abort, and the write is
+    * refused. Returns the audit rows. */
+  def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val td = TableDef("users_latest", Seq(
+      ColumnDef("user_id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("event_type", StringType),
+      ColumnDef("value", DoubleType)), numBuckets = 4)
+    val gate = quality.QualityGate.forTable(td)
+    val root = java.nio.file.Files.createTempDirectory("graft-dq-uniq").toString
+    val table = LakeTable.createIfNotExists(spark, s"$root/t", td.name,
+      td.schema, td.primaryKey, numBuckets = td.numBuckets)
+    val audit = LakeTable.createIfNotExists(spark, s"$root/dq", quality.DataQualityChecks.tableName,
+      quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 4)
+    val refused =
+      try { quality.GatedWriter.overwrite(table, ev, gate, Some(audit), jobId = 0); false }
+      catch { case _: quality.QualityGateError => true }
+    assert(refused, "seeded duplicate PKs must abort the gated overwrite")
+    assert(table.read().isEmpty, "aborted overwrite must leave the table empty")
+    audit.read()
+      .select(col("criticality"), col("check_name"),
+        col("columns").getItem(0).as("col_name"), col("failed_rows"))
+      .orderBy(col("check_name"))
   }
 
   /** The lake table through the Spark SQL surface: replay the stream, expose
@@ -192,7 +254,7 @@ object cdcq {
     * per-run failure counts, MERGEd into the quality SLO lake table. */
   def sloQuality(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.slo._
-    val audit = dqReplayAudit(spark, dir)
+    val audit = dqReplayAudit(spark, dir).audit
     val root = java.nio.file.Files.createTempDirectory("graft-slo-q").toString
     val table = LakeTable.createIfNotExists(spark, root, "quality",
       QualitySlo.schema, QualitySlo.keyColumns, numBuckets = 4)

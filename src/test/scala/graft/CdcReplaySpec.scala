@@ -85,6 +85,86 @@ class CdcReplaySpec extends SparkSuite {
     rm.foreach(r => assert(r.lineage.map(l => l.rows_upserted + l.rows_deleted).sum == 4000L))
   }
 
+  test("fused gate: a clean gated dense epoch runs ONE Spark job; errors abort pre-commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val cols = Seq(
+      ColumnDef("repo", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("path", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("commit", StringType),
+      ColumnDef("lang", StringType, qualityRule =
+        Some(QualityRule(Criticality.Error, allowedValues = Some(Seq("scala", "java"))))),
+      ColumnDef("content", StringType))
+    val gate = new quality.QualityGate(quality.Check.fromColumns(cols))
+    val table = LakeTable.createIfNotExists(spark, tmpDir("fgate"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val audit = LakeTable.createIfNotExists(spark, tmpDir("fgate-audit"), "dq",
+      quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 2)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      gate = Some(gate), auditTable = Some(audit))
+    val n = 256 // >= 4 buckets * 32 -> dense, stats+gate fused as observed metrics
+    def batch(lsn0: Long, badLang: Boolean) =
+      (0 until n).map { i =>
+        val lang = if (badLang && i % 16 == 0) "cobol" else "scala"
+        (lsn0 + i, "U", s"r${i % 7}", s"p/$i", s"c$i", lang, s"content-$i")
+      }.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+    // 1 job per clean gated dense epoch: gate aggregates ride the merge job
+    // as an Observation — no separate gate scan, no stats pre-pass. AQE is
+    // pinned off for the measurement: it submits each shuffle map stage as
+    // its own job, which would count the SAME single pass twice.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = engine.applyEpoch(batch(0, badLang = false), 0, knownInputCount = Some(n.toLong))
+      assert(r.committed)
+      // the listener bus is async: poll until the job count is stable
+      var last = -1; var stableFor = 0
+      while (stableFor < 5) {
+        val c = jobs.get()
+        if (c == last) stableFor += 1 else { stableFor = 0; last = c }
+        Thread.sleep(100)
+      }
+      assert(jobs.get() == 1, s"clean gated dense epoch must be ONE Spark job, saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+
+    // error-level failures: resolved from the same merge job's Observation,
+    // abort BEFORE the commit — zero committed state, audit rows persisted
+    val vBefore = table.snapshot.version
+    intercept[quality.QualityGateError] {
+      engine.applyEpoch(batch(1000, badLang = true), 1, knownInputCount = Some(n.toLong))
+    }
+    assert(table.snapshot.version == vBefore, "error abort must leave zero committed state")
+    val auditRows = audit.read().filter(col("criticality") === "error").collect()
+    assert(auditRows.nonEmpty, "error failures must be audited before the abort")
+    assert(auditRows.map(_.getAs[Long]("failed_rows")).sum == n / 16)
+
+    // the corrected batch then applies through the same fused path
+    val ok = engine.applyEpoch(batch(1000, badLang = false), 1, knownInputCount = Some(n.toLong))
+    assert(ok.committed)
+    assert(table.read().count() == n)
+
+    // MoR mode shares the preCommit hook: error abort leaves no delta files
+    val morTable = LakeTable.createIfNotExists(spark, tmpDir("fgate-mor"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val morEngine = new ReplayEngine(morTable, SchemaRegistry.single(RepoRow.schemaV1),
+      gate = Some(gate), mode = MergeMode.MoR)
+    intercept[quality.QualityGateError] {
+      morEngine.applyEpoch(batch(0, badLang = true), 0, knownInputCount = Some(n.toLong))
+    }
+    assert(morTable.snapshot.files.isEmpty, "MoR error abort must commit no delta files")
+  }
+
   test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
     val cfg = gen.GenConfig(n = 20000, nKeys = 3000, numPartitions = 8)
     val table = replay(tmpDir("lake"), cfg, epochs = 5)

@@ -60,6 +60,44 @@ class QualityGateSpec extends SparkSuite {
     assert(errNames == Seq("is_in_list") && q(3L).getSeq[Any](3).isEmpty)
   }
 
+  test("auto-derived PK uniqueness: gated overwrite refuses duplicates, audits them first") {
+    import graft.cdc.lake._
+    val td = TableDef("users", Seq(
+      ColumnDef("id", LongType, nullable = false, isPrimaryKey = true),
+      ColumnDef("v", StringType)), numBuckets = 4)
+    // forTable auto-attaches is_unique (error) + is_not_null(id) for the PK
+    val gate = QualityGate.forTable(td)
+    assert(gate.keyedChecks == Seq(KeyedCheck("is_unique", Seq("id"), Criticality.Error)))
+    val root = tmpDir("dq-uniq")
+    val t = LakeTable.createIfNotExists(spark, s"$root/t", td.name, td.schema, td.primaryKey, 4)
+    val audit = LakeTable.createIfNotExists(spark, s"$root/dq", DataQualityChecks.tableName,
+      DataQualityChecks.schema, Seq("table_name", "check_name"), 4)
+
+    // duplicates: is_unique fires with failed_rows = rows in duplicated groups
+    val dup = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("id", "v")
+    intercept[QualityGateError] { GatedWriter.overwrite(t, dup, gate, Some(audit), jobId = 7) }
+    assert(t.read().isEmpty, "refused overwrite must not write")
+    val a = audit.read().collect()
+    assert(a.length == 1)
+    assert(a(0).getAs[String]("check_name") == "is_unique" &&
+      a(0).getAs[String]("criticality") == "error" &&
+      a(0).getAs[Long]("failed_rows") == 3L &&
+      a(0).getAs[Long]("job_id") == 7L &&
+      a(0).getSeq[String](a(0).fieldIndex("columns")).toSeq == Seq("id"))
+
+    // unique batch: gate passes, the overwrite lands
+    val ok = Seq((1L, "a"), (2L, "d")).toDF("id", "v")
+    assert(GatedWriter.overwrite(t, ok, gate, Some(audit), jobId = 8).committed)
+    assert(t.read().count() == 2)
+    assert(audit.read().count() == 1, "clean write adds no audit rows")
+
+    // append path shares the gate (duplicate WITHIN the appended batch fires)
+    intercept[QualityGateError] {
+      GatedWriter.append(t, Seq((9L, "x"), (9L, "y")).toDF("id", "v"), gate, Some(audit), jobId = 9)
+    }
+    assert(t.read().count() == 2, "refused append must not write")
+  }
+
   test("audit + quarantine lake tables: failures persisted per epoch, errors persisted before abort") {
     import graft.cdc._, graft.cdc.lake._, graft.cdc.ingest._
     import org.apache.spark.sql.functions._
