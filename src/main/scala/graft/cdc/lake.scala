@@ -53,6 +53,14 @@ object lake {
       lsnMax: Long,
       kind: String = "base") // "base" (payload rows) | "delta" (lsn+op+payload change rows)
 
+  /** Pointer to one bucket's immutable manifest file (chunked-manifest mode,
+    * Iceberg's manifest-list idea minimized): `path` is root-relative, the
+    * counts let planners prune without reading the manifest. */
+  final case class ManifestRef(path: String, bucket: Int, numFiles: Int, deltaFiles: Int)
+
+  /** On-disk payload of one per-bucket manifest file. */
+  final case class ManifestData(files: Seq[DataFile])
+
   final case class Snapshot(
       formatVersion: Int,
       table: String,
@@ -69,7 +77,16 @@ object lake {
         * compaction). Lets changesSince prove completeness in O(1): a delta
         * committed after snapshot v carries lsn > v.lsnHigh (binlog ordering
         * contract), so post-v changes were lost iff foldedLsnHigh > v.lsnHigh. */
-      foldedLsnHigh: Option[Long] = None) {
+      foldedLsnHigh: Option[Long] = None,
+      /** Chunked-manifest mode (auto above 64 buckets): the file list lives
+        * in per-bucket manifest files referenced here instead of inline in
+        * `files`. A commit rewrites ONLY the touched buckets' manifests and
+        * carries the rest by reference — commit cost is O(touched buckets'
+        * files), not O(all files), which is what keeps the driver out of the
+        * way at the 100 TB envelope (4096+ buckets, millions of files).
+        * Resolve with LakeTable.filesOf / filesOfBuckets, never `files`
+        * alone. */
+      manifests: Seq[ManifestRef] = Nil) {
     def schema: StructType = schemaOf(schemaVersion)
     def schemaOf(v: Int): StructType =
       DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
@@ -216,6 +233,90 @@ object lake {
       true
     }
 
+    // ---- chunked manifests --------------------------------------------------
+
+    /** Chunked-manifest mode: automatic above 64 buckets (the envelope where
+      * an inline O(all files) list stops being a sane driver-side payload),
+      * or forced via table property `graft.manifest.chunk = always`. The
+      * predicate is a pure function of creation-time state, so a table is
+      * chunked or inline for life. */
+    private def chunkedManifests(snap: Snapshot): Boolean =
+      snap.numBuckets > 64 || snap.properties.get("graft.manifest.chunk").contains("always")
+
+    /** Immutable once written (uuid names), so cached for the handle's life. */
+    private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+    /** Cache-miss counter — observability for the O(touched) commit claim. */
+    val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def readManifest(ref: ManifestRef): Seq[DataFile] =
+      manifestCache.computeIfAbsent(ref.path, p => {
+        manifestReads.incrementAndGet()
+        Serialization.read[ManifestData](Files.readString(Paths.get(root, p))).files
+      })
+
+    private def writeManifest(bucket: Int, files: Seq[DataFile]): ManifestRef = {
+      val mDir = metaDir.resolve("m")
+      Files.createDirectories(mDir)
+      val rel = s"meta/m/${UUID.randomUUID().toString.take(12)}-b$bucket.json"
+      Files.writeString(Paths.get(root, rel), Serialization.write(ManifestData(files)))
+      manifestCache.put(rel, files)
+      ManifestRef(rel, bucket, files.size, files.count(_.kind == "delta"))
+    }
+
+    /** All data files of a snapshot (inline + manifest-resolved). In chunked
+      * mode this reads every manifest — use [[filesOfBuckets]] with a bucket
+      * set whenever the caller knows one (merge, pruned reads). */
+    def filesOf(snap: Snapshot): Seq[DataFile] =
+      if (snap.manifests.isEmpty) snap.files
+      else snap.files ++ snap.manifests.flatMap(readManifest)
+
+    /** Bucket-pruned file resolution: reads ONLY the requested buckets'
+      * manifests (`deltaOnly` additionally skips manifests whose ref reports
+      * zero delta files — changesSince / compactDeltas pruning). */
+    def filesOfBuckets(snap: Snapshot, buckets: Option[Set[Int]],
+        deltaOnly: Boolean = false): Seq[DataFile] = {
+      def want(b: Int) = buckets.forall(_.contains(b))
+      val inline = snap.files.filter(f => want(f.bucket) && (!deltaOnly || f.kind == "delta"))
+      val fromManifests = snap.manifests
+        .filter(m => want(m.bucket) && (!deltaOnly || m.deltaFiles > 0))
+        .flatMap(readManifest)
+        .filter(f => !deltaOnly || f.kind == "delta")
+      inline ++ fromManifests
+    }
+
+    /** Buckets that currently hold MoR delta files — O(manifest refs) in
+      * chunked mode (no manifest reads: the refs carry delta counts). */
+    private def bucketsWithDeltas(snap: Snapshot): Set[Int] =
+      snap.files.filter(_.kind == "delta").map(_.bucket).toSet ++
+        snap.manifests.filter(_.deltaFiles > 0).map(_.bucket)
+
+    /** Per-bucket file counts without reading any manifest (refs carry them). */
+    private def fileCountsByBucket(snap: Snapshot): Map[Int, Int] = {
+      val pairs = snap.files.groupBy(_.bucket).view.mapValues(_.size).toSeq ++
+        snap.manifests.map(m => m.bucket -> m.numFiles)
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+
+    /** Next snapshot's file state after dropping ALL files of
+      * `removedBuckets` and adding `added`: inline list math in inline mode;
+      * in chunked mode, new manifest files are written ONLY for affected
+      * buckets (removed ∪ added) and every other bucket's manifest is
+      * carried by reference — O(touched), never O(table). */
+    private def nextFileState(cur: Snapshot, removedBuckets: Set[Int],
+        added: Seq[DataFile]): (Seq[DataFile], Seq[ManifestRef]) =
+      if (!chunkedManifests(cur)) {
+        (cur.files.filterNot(f => removedBuckets(f.bucket)) ++ added, Nil)
+      } else {
+        val addedByBucket = added.groupBy(_.bucket)
+        val affected = removedBuckets ++ addedByBucket.keySet
+        val keptByBucket = filesOfBuckets(cur, Some(affected -- removedBuckets)).groupBy(_.bucket)
+        val newRefs = affected.toSeq.sorted.flatMap { b =>
+          val list = keptByBucket.getOrElse(b, Nil) ++ addedByBucket.getOrElse(b, Nil)
+          if (list.isEmpty) None else Some(writeManifest(b, list))
+        }
+        (Nil, cur.manifests.filterNot(m => affected(m.bucket)) ++ newRefs)
+      }
+
     // ---- read path ---------------------------------------------------------
 
     /** Bucket assignment: hash of the full merge key, so a hot repo spreads
@@ -244,7 +345,7 @@ object lake {
       * them, they are applied at read time with the same fused max-LSN
       * aggregation the CoW merge uses. */
     def readBuckets(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
-      val wanted = buckets.map(bs => snap.files.filter(f => bs(f.bucket))).getOrElse(snap.files)
+      val wanted = filesOfBuckets(snap, buckets)
       val base = readFileGroup(snap, wanted.filter(_.kind == "base"), withMeta = false)
       val deltaFiles = wanted.filter(_.kind == "delta")
       if (deltaFiles.isEmpty) base
@@ -377,11 +478,18 @@ object lake {
       val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
       val files = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
-      val next = next0.copy(files = files, foldedLsnHigh = foldDeltas(cur, cur.files))
+      val allBuckets = (0 until cur.numBuckets).toSet
+      // the removed delta lsn fold needs the OLD delta files' ranges: in
+      // chunked mode resolve only delta-bearing manifests (ref-pruned)
+      val removedDeltas = filesOfBuckets(cur, None, deltaOnly = true)
+      val (nf, nm) = nextFileState(cur, allBuckets, files)
+      val next = next0.copy(files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, removedDeltas))
       val ok = commit(next, fence = epochId >= 0)
+      val removedCounts = fileCountsByBucket(cur)
       val lin = files.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
-          fs.map(_.rows).sum, 0L, fs.size, cur.files.count(_.bucket == b), nowTs())
+          fs.map(_.rows).sum, 0L, fs.size, removedCounts.getOrElse(b, 0), nowTs())
       }.toSeq
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
@@ -394,7 +502,8 @@ object lake {
       val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh))
       val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
-      val next = next0.copy(files = cur.files ++ added)
+      val (nf, nm) = nextFileState(cur, Set.empty, added)
+      val next = next0.copy(files = nf, manifests = nm)
       val ok = commit(next, fence = epochId >= 0)
       val lin = added.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
@@ -526,7 +635,9 @@ object lake {
       // at their own LSN, batch events at theirs — one aggregation resolves
       // everything (a CoW merge also compacts any deltas of touched buckets)
       val ordered = (Seq(col("lsn"), col("op")) ++ payload.map(col))
-      val wanted = cur.files.filter(f => touched(f.bucket))
+      // chunked mode: only the touched buckets' manifests are read — the
+      // sparse epoch never materializes the full file list driver-side
+      val wanted = filesOfBuckets(cur, Some(touched))
       val base = readFileGroup(cur, wanted.filter(_.kind == "base"), withMeta = false)
         .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
       val deltas = readFileGroup(cur, wanted.filter(_.kind == "delta"), withMeta = true)
@@ -541,13 +652,13 @@ object lake {
       val newFiles = rawFiles.map(f =>
         f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
           lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
-      val carried = cur.files.filterNot(f => touched(f.bucket))
+      val (nf, nm) = nextFileState(cur, touched, newFiles)
       val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = carried ++ newFiles,
-        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => touched(f.bucket))))
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, wanted))
       preCommit()
       val ok = commit(next, fence = epochId >= 0)
-      val removedByBucket = cur.files.filter(f => touched(f.bucket)).groupBy(_.bucket)
+      val removedByBucket = wanted.groupBy(_.bucket)
       val lin = statsRows.map { r =>
         val b = r.getAs[Int]("_b")
         LineageEntry(name, nextVersion, epochId, b,
@@ -590,9 +701,10 @@ object lake {
         .select((ordered :+ bucketExpr(cur).as("_ob")): _*)
         .observe(obs, aggs.head, aggs.tail: _*)
         .drop("_ob")
-      val base = readFileGroup(cur, cur.files.filter(_.kind == "base"), withMeta = false)
+      val curFiles = filesOf(cur) // dense = full touch: resolving all is the job
+      val base = readFileGroup(cur, curFiles.filter(_.kind == "base"), withMeta = false)
         .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
-      val deltas = readFileGroup(cur, cur.files.filter(_.kind == "delta"), withMeta = true)
+      val deltas = readFileGroup(cur, curFiles.filter(_.kind == "delta"), withMeta = true)
       val merged = mergeExpr(base.unionByName(deltas).unionByName(batchObs), cur)
 
       val nextVersion = cur.version + 1
@@ -612,7 +724,7 @@ object lake {
       if (perBucket.isEmpty) return CommitResult(committed = false, cur, Nil) // empty batch
       val lsnHigh = perBucket.values.map(_._2).max
 
-      val oldByBucket = cur.files.filter(_.lsnMin >= 0).groupBy(_.bucket)
+      val oldByBucket = curFiles.filter(_.lsnMin >= 0).groupBy(_.bucket)
       val newFiles = rawFiles.map { f =>
         perBucket.get(f.bucket) match {
           case Some((lmin, lmax, _, _)) => f.copy(lsnMin = lmin, lsnMax = lmax)
@@ -622,11 +734,12 @@ object lake {
               lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
         }
       }
+      val (nf, nm) = nextFileState(cur, (0 until nb).toSet, newFiles)
       val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = newFiles,
-        foldedLsnHigh = foldDeltas(cur, cur.files))
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, curFiles))
       val ok = commit(next, fence = epochId >= 0)
-      val removedByBucket = cur.files.groupBy(_.bucket)
+      val removedByBucket = curFiles.groupBy(_.bucket)
       val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
         LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
           newFiles.count(_.bucket == b), removedByBucket.get(b).map(_.size).getOrElse(0), nowTs())
@@ -738,8 +851,9 @@ object lake {
       val newFiles = rawFiles.map(f =>
         f.copy(lsnMin = perBucket.get(f.bucket).map(_._1).getOrElse(-1L),
           lsnMax = perBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
+      val (nf, nm) = nextFileState(cur, Set.empty, newFiles)
       val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = cur.files ++ newFiles)
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = nf, manifests = nm)
       val ok = commit(next, fence = epochId >= 0)
       val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
         LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
@@ -753,21 +867,21 @@ object lake {
       * compacted. */
     def compactDeltas(): Int = synchronized {
       val cur = snapshot
-      val bucketsWithDeltas = cur.files.filter(_.kind == "delta").map(_.bucket).toSet
-      if (bucketsWithDeltas.isEmpty) return 0
-      val data = readBuckets(cur, Some(bucketsWithDeltas)) // fused apply
-      val olds = cur.files.filter(f => bucketsWithDeltas(f.bucket))
+      val deltaBuckets = bucketsWithDeltas(cur)
+      if (deltaBuckets.isEmpty) return 0
+      val data = readBuckets(cur, Some(deltaBuckets)) // fused apply
+      val olds = filesOfBuckets(cur, Some(deltaBuckets))
       val newFiles = writeBucketed(data, cur, cur.version + 1, repartitionByBucket = false)
         .map { f =>
           val o = olds.filter(x => x.bucket == f.bucket && x.lsnMin >= 0)
           f.copy(lsnMin = if (o.isEmpty) -1L else o.map(_.lsnMin).min,
             lsnMax = if (o.isEmpty) -1L else o.map(_.lsnMax).max)
         }
-      val next = cur.copy(version = cur.version + 1,
-        files = cur.files.filterNot(f => bucketsWithDeltas(f.bucket)) ++ newFiles,
-        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => bucketsWithDeltas(f.bucket))))
+      val (nf, nm) = nextFileState(cur, deltaBuckets, newFiles)
+      val next = cur.copy(version = cur.version + 1, files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, olds))
       require(commit(next, fence = false), "delta compaction commit failed")
-      bucketsWithDeltas.size
+      deltaBuckets.size
     }
 
     /** CDC-out: the change rows (lsn, op, payload) committed AFTER snapshot
@@ -794,8 +908,9 @@ object lake {
           s"changes since v$sinceVersion no longer available: delta files committed after it " +
             s"were compacted/merged away (foldedLsnHigh=${cur.foldedLsnHigh.get} > " +
             s"sinceLsnHigh=${sinceSnap.lsnHigh}; schedule compaction to lag consumers)")
-      val before = sinceSnap.files.map(_.path).toSet
-      val newDeltas = cur.files.filter(f => f.kind == "delta" && !before(f.path))
+      // delta-only resolution: manifests without delta files are never read
+      val before = filesOfBuckets(sinceSnap, None, deltaOnly = true).map(_.path).toSet
+      val newDeltas = filesOfBuckets(cur, None, deltaOnly = true).filterNot(f => before(f.path))
       readFileGroup(cur, newDeltas, withMeta = true)
     }
 
@@ -823,9 +938,10 @@ object lake {
       * left alone. Returns the number of buckets compacted. */
     def compact(minFiles: Int = 2): Int = synchronized {
       val cur = snapshot
-      val toCompact = cur.files.groupBy(_.bucket).filter(_._2.size >= minFiles)
-      if (toCompact.isEmpty) return 0
-      val buckets = toCompact.keySet
+      // bucket selection is ref-count-only (no manifest reads)
+      val buckets = fileCountsByBucket(cur).filter(_._2 >= minFiles).keySet
+      if (buckets.isEmpty) return 0
+      val toCompact = filesOfBuckets(cur, Some(buckets)).groupBy(_.bucket)
       val data = readBuckets(cur, Some(buckets))
       val newFiles = writeBucketed(data, cur, cur.version + 1).map { f =>
         // exclude the -1 "unstamped" sentinel from the range fold (matches
@@ -834,9 +950,9 @@ object lake {
         f.copy(lsnMin = if (olds.isEmpty) -1L else olds.map(_.lsnMin).min,
           lsnMax = if (olds.isEmpty) -1L else olds.map(_.lsnMax).max)
       }
-      val next = cur.copy(version = cur.version + 1,
-        files = cur.files.filterNot(f => buckets(f.bucket)) ++ newFiles,
-        foldedLsnHigh = foldDeltas(cur, cur.files.filter(f => buckets(f.bucket))))
+      val (nf, nm) = nextFileState(cur, buckets, newFiles)
+      val next = cur.copy(version = cur.version + 1, files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, toCompact.values.flatten.toSeq))
       require(commit(next, fence = false), "compaction commit failed")
       buckets.size
     }
@@ -847,9 +963,20 @@ object lake {
     def vacuum(keepSnapshots: Int = 1): (Int, Int) = synchronized {
       val versions = history()
       val keep = versions.takeRight(math.max(1, keepSnapshots)).toSet
-      val referenced: Set[String] = keep.flatMap(v => snapshotAt(v).files.map(_.path))
+      val keptSnaps = keep.toSeq.map(snapshotAt)
+      val referenced: Set[String] = keptSnaps.flatMap(s => filesOf(s).map(_.path)).toSet
       var manifestsRemoved = 0
       versions.filterNot(keep).foreach { v => Files.deleteIfExists(snapPath(v)); manifestsRemoved += 1 }
+      // GC per-bucket manifest files no kept snapshot references
+      val keptManifests: Set[String] = keptSnaps.flatMap(_.manifests.map(_.path)).toSet
+      val mDir = metaDir.resolve("m")
+      if (Files.isDirectory(mDir)) {
+        val ms = Files.list(mDir)
+        try ms.forEach { m =>
+          val rel = Paths.get(root).relativize(m).toString
+          if (!keptManifests(rel)) { Files.deleteIfExists(m); manifestsRemoved += 1 }
+        } finally ms.close()
+      }
       var filesRemoved = 0
       if (Files.isDirectory(dataDir)) {
         val all = listParquet(dataDir)

@@ -75,6 +75,105 @@ class MaintenanceSpec extends SparkSuite {
     assert(after.epochId == before.epochId, "compaction must not advance the epoch fence")
   }
 
+  test("chunked manifests: full lifecycle round-trips and vacuum GCs manifest files") {
+    // force chunked mode at a small bucket count so the whole lifecycle is
+    // cheap to exercise: CoW epochs, MoR deltas, changesSince, compaction,
+    // time travel, reload from disk, vacuum incl. manifest-file GC
+    val cfg = gen.GenConfig(n = 9000, nKeys = 1500, deletePct = 10, numPartitions = 4)
+    val root = tmpDir("chunked")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8,
+      properties = Map("graft.manifest.chunk" -> "always"))
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val mor = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      mode = MergeMode.MoR)
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 3000), 0)
+    val mark = table.snapshot.version
+    mor.applyEpoch(all.filter(col("lsn") >= 3000 && col("lsn") < 6000), 1)
+    // chunked state: no inline files, per-bucket manifests, delta counts set
+    val snap = table.snapshot
+    assert(snap.files.isEmpty && snap.manifests.nonEmpty, "chunked tables keep no inline files")
+    assert(snap.manifests.exists(_.deltaFiles > 0), "MoR epoch must register delta manifests")
+    // CDC-out across chunked manifests
+    assert(table.changesSince(mark).count() > 0)
+    engine.applyEpoch(all.filter(col("lsn") >= 6000), 2)
+    table.compactDeltas()
+    // golden vs the independent oracle
+    val exp = gen.oracleFinalState(cfg)
+    def golden(t: LakeTable): Unit = {
+      val got = t.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(got.size == exp.size, s"got ${got.size}, expected ${exp.size}")
+      exp.foreach { case (k, e) => assert(got.get(k).contains(gen.sha256Hex(e.content))) }
+    }
+    golden(table)
+    // a FRESH handle (empty manifest cache) resolves from disk identically
+    golden(LakeTable.load(spark, root, "t"))
+    // time travel reads an older chunked snapshot exactly
+    assert(table.readAt(mark).count() > 0)
+    // vacuum GCs unreferenced manifest JSONs along with snapshots/data
+    val mBefore = java.nio.file.Files.list(java.nio.file.Paths.get(root, "meta", "m")).count()
+    val (ms, fs) = table.vacuum(keepSnapshots = 1)
+    assert(ms > 0 && fs > 0)
+    val mAfter = java.nio.file.Files.list(java.nio.file.Paths.get(root, "meta", "m")).count()
+    assert(mAfter < mBefore, "vacuum must delete unreferenced manifest files")
+    assert(mAfter == table.snapshot.manifests.size.toLong)
+    golden(table)
+  }
+
+  test("4096-bucket manifests: commit is O(touched buckets), untouched refs carried by reference") {
+    import org.json4s.NoTypeHints
+    import org.json4s.jackson.Serialization
+    implicit val fmts: org.json4s.Formats = Serialization.formats(NoTypeHints)
+    val root = tmpDir("manifest-4k")
+    val nb = 4096
+    val table = LakeTable.createIfNotExists(spark, root, "big",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = nb)
+    // synthesize the 100 TB envelope's metadata: 4096 per-bucket manifests of
+    // 8 synthetic files each (32k files) referenced by a committed snapshot —
+    // the data files never exist because this test never reads them
+    val mDir = java.nio.file.Paths.get(root, "meta", "m")
+    java.nio.file.Files.createDirectories(mDir)
+    val refs = (0 until nb).map { b =>
+      val files = (0 until 8).map(i => DataFile(
+        s"data/seed/_b=$b/part-$i.parquet", b, 1000L, 1L << 20, 1, 0L, 99L, "base"))
+      val rel = s"meta/m/seed-b$b.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(root, rel),
+        Serialization.write(ManifestData(files)))
+      ManifestRef(rel, b, 8, 0)
+    }
+    val cur = table.snapshot
+    assert(table.commit(cur.copy(version = cur.version + 1, epochId = 0L, lsnHigh = 99L,
+      manifests = refs)))
+    // a sparse write touching a handful of buckets: commit must rewrite ONLY
+    // those buckets' manifests and read none of the others
+    val t2 = LakeTable.load(spark, root, "big") // fresh handle: cold manifest cache
+    import spark.implicits._
+    val tiny = Seq(
+      ("rA", "p/1", "c1", "scala", "x1"),
+      ("rB", "p/2", "c2", "scala", "x2"),
+      ("rC", "p/3", "c3", "scala", "x3"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val t0 = System.nanoTime()
+    val res = t2.append(tiny)
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    assert(res.committed)
+    val next = t2.snapshot
+    assert(next.manifests.size == nb, s"every bucket keeps a manifest: ${next.manifests.size}")
+    val prevPaths = refs.map(_.path).toSet
+    val carried = next.manifests.count(m => prevPaths(m.path))
+    val touched = nb - carried
+    assert(touched <= 3, s"append of 3 rows may touch at most 3 buckets' manifests, touched $touched")
+    assert(t2.manifestReads.get() <= 3,
+      s"commit must read only touched manifests, read ${t2.manifestReads.get()}")
+    // structural O(touched) is the real assertion; the wall clock is a
+    // generous regression guard for accidental O(all-buckets) work
+    assert(commitMs < 30000, s"sparse commit took ${commitMs}ms")
+    info(f"4096-bucket sparse append commit: $commitMs%.0f ms, $touched touched manifests, " +
+      s"${t2.manifestReads.get()} manifest reads")
+  }
+
   test("vacuum removes unreferenced files and old manifests; current read unaffected") {
     val (table, _) = build(3)
     table.compact()
