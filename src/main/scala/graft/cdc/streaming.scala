@@ -55,23 +55,58 @@ object streaming {
     *
     * State is O(1) per key (one long) and lives in the Structured Streaming
     * state store — checkpointed, partitioned by key, nothing driver-side.
-    * GroupStateTimeout is deliberately none: a CDC key's watermark must never
-    * expire, and one long per live file key is the same asymptotic state the
-    * lake table itself carries. */
-  def statefulDedup(events: DataFrame): DataFrame = {
+    *
+    * State lifecycle at the 10^10-key envelope: without a bound, state is one
+    * long per EVER-SEEN key — 10^10 longs. `evictBelowLsn` supplies the
+    * engine's durable LSN watermark (typically the lake table's committed
+    * `lsnHigh`, refreshed by the caller as epochs commit):
+    *
+    *  - every event at or below the CURRENT watermark is dropped statelessly
+    *    (it is already durably applied — the epoch fence plus binlog ordering
+    *    make it a redelivery by contract), so keys whose state high sits at
+    *    or below the watermark need NO state to stay correct;
+    *  - such keys' state is therefore evicted on a processing-time TTL
+    *    (`stateTtl`), bounding live state to keys AHEAD of the watermark —
+    *    O(in-flight keys), not O(ever-seen keys);
+    *  - a late event ABOVE the watermark for an evicted key is genuinely new
+    *    (its lsn exceeds the evicted high) and still passes — eviction never
+    *    changes the emitted stream, only the state footprint.
+    *
+    * With `evictBelowLsn = None` (default) the operator keeps the unbounded
+    * behavior: no timeouts, a key's watermark never expires. */
+  def statefulDedup(events: DataFrame, evictBelowLsn: Option[() => Long] = None,
+      stateTtl: String = "30 seconds"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val rowEnc = Encoders.row(events.schema)
+    val timeoutConf =
+      if (evictBelowLsn.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey((r: Row) =>
         r.getAs[String]("repo") + "\u0000" + r.getAs[String]("path"))(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          val watermark = evictBelowLsn.map(_()).getOrElse(-1L)
           val high = state.getOption.getOrElse(-1L)
-          // keep only events above the watermark; advance it to the batch max
-          val fresh = rows.filter(_.getAs[Long]("lsn") > high).toSeq
-          if (fresh.nonEmpty) state.update(math.max(high, fresh.map(_.getAs[Long]("lsn")).max))
-          fresh.iterator
+          if (state.hasTimedOut) {
+            // TTL tick: evict iff the durable watermark has passed this key
+            if (high <= watermark) state.remove()
+            else state.setTimeoutDuration(stateTtl)
+            Iterator.empty
+          } else {
+            // keep only events above BOTH the key state and the durable
+            // watermark (the latter keeps evicted keys correct statelessly)
+            val floor = math.max(high, watermark)
+            val fresh = rows.filter(_.getAs[Long]("lsn") > floor).toSeq
+            val newHigh =
+              if (fresh.isEmpty) high else math.max(high, fresh.map(_.getAs[Long]("lsn")).max)
+            if (newHigh > watermark) {
+              if (newHigh > high) state.update(newHigh)
+              if (evictBelowLsn.isDefined) state.setTimeoutDuration(stateTtl)
+            } else if (state.exists) state.remove()
+            fresh.iterator
+          }
         })(Encoders.scalaLong, rowEnc)
       .toDF()
   }

@@ -7,6 +7,12 @@ import graft.cdc.lake._
 import graft.cdc.ingest._
 import graft.cdc.model._
 
+/** Shared mutable LSN watermark for the TTL-eviction test (a top-level
+  * object so the state function's supplier closure serializes cleanly). */
+object TtlWatermark {
+  @volatile var v: Long = -1L
+}
+
 /** Structured Streaming replay: file-tail source -> foreachBatch epochs ->
   * lake table, including stop/restart resume through the SS checkpoint +
   * epoch fence composition. */
@@ -85,5 +91,57 @@ class StreamingReplaySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((5L, "a"), (3L, "b"), (7L, "a"), (1L, "c")),
       s"stale a@4 must be suppressed by the state-store watermark; got $out")
+  }
+
+  test("stateful dedup TTL: state below the lsn watermark evicts; late events stay correct") {
+    import spark.implicits._
+    val srcDir = tmpDir("ttl-src")
+    val ckDir = tmpDir("ttl-ck")
+    val outDir = tmpDir("ttl-out")
+    TtlWatermark.v = -1L
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("lsn", "op", "repo", "path")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    write(Seq((5L, "U", "r1", "a"), (3L, "U", "r1", "b")))
+    val schema = spark.read.parquet(srcDir).schema
+    // eviction needs a LONG-RUNNING trigger: processing-time timeouts fire in
+    // no-data batches, which AvailableNow would drain forever (a due deadline
+    // re-arms each batch) — so run ONE ProcessingTime query and poll progress
+    val q = streaming.statefulDedup(
+        streaming.changeStream(spark, srcDir, schema),
+        evictBelowLsn = Some(() => TtlWatermark.v),
+        stateTtl = "2 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    def stateRows: Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+    def await(cond: => Boolean, what: String): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        assert(System.currentTimeMillis() - t0 < 90000, s"timed out waiting for: $what")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      await(stateRows == 2, "keys a and b holding state ahead of the watermark")
+
+      // the lake durably commits through lsn 6 -> watermark advances; the
+      // next TTL tick (a no-data timeout batch) evicts a@5 and b@3 (<= 6)
+      TtlWatermark.v = 6L
+      await(stateRows == 0, "TTL eviction of keys behind the watermark")
+
+      // correctness after eviction: a@4 (below watermark, no state left) is
+      // dropped by the stateless watermark floor; a@9 is genuinely new
+      write(Seq((4L, "U", "r1", "a"), (9L, "U", "r1", "a")))
+      await(stateRows == 1, "late a@9 re-creating state above the watermark")
+      await(spark.read.parquet(outDir).count() == 3, "3 emitted rows")
+      val out = spark.read.parquet(outDir).select("lsn", "path").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((5L, "a"), (3L, "b"), (9L, "a")),
+        s"late a@4 below the watermark must stay dropped after eviction; got $out")
+    } finally q.stop()
   }
 }
