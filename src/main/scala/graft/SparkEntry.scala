@@ -77,6 +77,8 @@ object SparkEntry {
     "q30b_cdc_replay_mor" -> (cdcq.replayMor _),
     "q31_cdc_schema_evolution" -> (cdcq.replayEvolve _),
     "q37_sql_over_lake" -> (cdcq.sqlOverLake _),
+    "q39_sql_merge" -> (cdcq.sqlMerge _),
+    "q39b_sql_timetravel" -> (cdcq.sqlTimeTravel _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -431,6 +433,25 @@ object SparkEntry {
          SELECT lang, count(*) AS n_files, count(DISTINCT repo) AS n_repos,
                 max(commit_id) AS max_commit
          FROM t GROUP BY lang ORDER BY lang""",
+    "q39_sql_merge" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    "q39b_sql_timetravel" ->
+      """WITH h AS (SELECT (max(event_id)+2)//2 AS half FROM events),
+         mid AS (SELECT count(*) AS n FROM (
+           SELECT user_id, event_type FROM events WHERE event_id < (SELECT half FROM h)
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error'),
+         fin AS (SELECT count(*) AS n FROM (
+           SELECT user_id, event_type FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error')
+         SELECT * FROM (SELECT 'v_final' AS label, n FROM fin
+         UNION ALL SELECT 'v_mid' AS label, n FROM mid) ORDER BY label""",
     "q31_cdc_schema_evolution" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -262,6 +262,68 @@ object cdcq {
     table.read().orderBy(col("run_id"))
   }
 
+  /** Build (once per session+dir) a GraftCatalog-registered lake table and
+    * apply the change stream to it with two SQL `MERGE INTO` statements —
+    * the whole path runs through Catalyst: GraftCatalog resolution, the
+    * GraftMergeRewrite analyzer rule, and the engine's CoW merge kernel.
+    * Requires `spark.sql.extensions = graft.sql.GraftExtensions` (set by
+    * Verify/Bench/test sessions). Returns the catalog name. */
+  private val sqlMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def sqlMergeTable(spark: SparkSession, dir: String): String =
+    sqlMergeCache.computeIfAbsent((spark, dir), _ => {
+      // catalog name must be unique per (session, dir): catalog plugin
+      // instances are cached by name with their warehouse at first load
+      val cat = s"gmerge${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.repo_files
+            (repo STRING, path STRING, commit_id STRING, lang STRING, content STRING)
+            TBLPROPERTIES ('primary_key'='repo,path', 'buckets'='16')""")
+      asChanges(spark, dir).createOrReplaceTempView(s"changes_$cat")
+      val maxLsn = spark.table(s"changes_$cat").agg(max("lsn")).collect()(0).getLong(0)
+      val half = (maxLsn + 2) / 2
+      Seq(s"lsn < $half", s"lsn >= $half").foreach { range =>
+        // one MERGE per epoch; the source pre-dedups to the epoch's per-key
+        // winner (ANSI MERGE requires unique matches), deletes ride the
+        // WHEN MATCHED ... DELETE leg keyed on the tombstone op
+        spark.sql(
+          s"""MERGE INTO $cat.db.repo_files t
+              USING (SELECT repo, path, commit_id, lang, content, op FROM (
+                       SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+                       FROM changes_$cat WHERE $range) WHERE rn = 1) s
+              ON t.repo = s.repo AND t.path = s.path
+              WHEN MATCHED AND s.op = 'D' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+      }
+      cat
+    })
+
+  /** SQL MERGE INTO through Catalyst (SURVEY §7.5 step 8): same oracle as
+    * the programmatic replay — the SQL surface and the engine API converge
+    * on the identical final state. */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlMergeTable(spark, dir)
+    spark.sql(
+      s"""SELECT repo, path, commit_id, lang, content FROM $cat.db.repo_files
+          ORDER BY repo, path""")
+  }
+
+  /** SQL time travel over the merged table: `VERSION AS OF 1` = the state
+    * after the first MERGE (v0 is the empty create), current = after both. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlMergeTable(spark, dir)
+    spark.sql(
+      s"""SELECT 'v_final' AS label, count(*) AS n FROM $cat.db.repo_files
+          UNION ALL
+          SELECT 'v_mid' AS label, count(*) AS n FROM $cat.db.repo_files VERSION AS OF 1
+          ORDER BY label""")
+  }
+
   /** Replay with mid-stream additive schema evolution: after half the stream,
     * the table gains a `value_cents` column; later events carry it, earlier
     * rows read back as null. Exercises evolveSchema + conform-on-read +

@@ -1,0 +1,208 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.lake
+
+/** GraftLake as a Spark DataSource V2 `TableCatalog` — the engine's tables
+  * become first-class SQL citizens, no temp-view indirection:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/data/lake")
+  *   spark.sql("SELECT * FROM g.db.repo_files")            // snapshot read
+  *   spark.sql("SELECT * FROM g.db.repo_files VERSION AS OF 3")  // time travel
+  *   spark.sql("INSERT INTO g.db.repo_files SELECT ...")   // append sink
+  *   spark.sql("MERGE INTO g.db.repo_files t USING s ...") // CDC apply (see GraftMerge)
+  * }}}
+  *
+  * Catalog plugins resolve lazily from session conf, so no session-creation
+  * hook is needed. Layout: `<warehouse>/<namespace>/<table>` — one lake-table
+  * root per table (reference analog: the 3-part `catalog.schema.table`
+  * naming of src/models/table.py:16-93 re-targeted at our snapshot format).
+  *
+  * The read/write paths delegate to the V1 connector bridges
+  * ([[org.apache.spark.sql.connector.read.V1Scan]] /
+  * [[org.apache.spark.sql.connector.write.V1Write]]): the lake table already
+  * produces/consumes DataFrames whose plans Catalyst optimizes end-to-end
+  * (manifest-pruned parquet scans under the hood), so re-implementing a
+  * partition-reader layer would duplicate what `LakeTable.read` compiles to.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"set spark.sql.catalog.$name.warehouse to the lake warehouse directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    lake.LakeTable.exists(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    new GraftTable(lake.LakeTable.load(spark, rootOf(ident), ident.name()), None)
+  }
+
+  /** Time travel: `VERSION AS OF <snapshotVersion>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    new GraftTable(lake.LakeTable.load(spark, rootOf(ident), ident.name()), Some(version.toLong))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => lake.LakeTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  /** Table properties understood at create time:
+    *  - `primary_key`: comma-separated merge-key columns (required for MERGE)
+    *  - `buckets`: hash-bucket count (default 32)
+    * Everything else is carried verbatim into snapshot properties. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    val keys = props.get("primary_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val buckets = props.get("buckets").map(_.toInt).getOrElse(32)
+    val t = lake.LakeTable.createIfNotExists(spark, rootOf(ident), ident.name(), schema,
+      keys, numBuckets = buckets,
+      properties = props -- Seq("primary_key", "buckets"))
+    new GraftTable(t, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL is not wired; use the schema-evolution planner (graft.cdc.plan)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = java.nio.file.Paths.get(rootOf(ident))
+    if (!lake.LakeTable.exists(root.toString)) return false
+    val w = java.nio.file.Files.walk(root)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally w.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME is not supported")
+
+  // ---- namespaces (directories under the warehouse) ------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+      .filterNot(p => lake.LakeTable.exists(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get((warehouse +: namespace).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get((warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    val w = java.nio.file.Files.walk(dir)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally w.close()
+    true
+  }
+}
+
+/** One lake table surfaced to Catalyst. `pinnedVersion` = time travel. */
+class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def snap = pinnedVersion.map(table.snapshotAt).getOrElse(table.snapshot)
+
+  override def name(): String = table.name
+  override def schema(): StructType = snap.schema
+  override def properties(): util.Map[String, String] =
+    (snap.properties ++ Map(
+      "primary_key" -> snap.keyColumns.mkString(","),
+      "buckets" -> snap.numBuckets.toString,
+      "snapshot_version" -> snap.version.toString)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = snap.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = snap.schema
+            override def buildScan(): RDD[Row] =
+              pinnedVersion.map(table.readAt).getOrElse(table.read()).rdd
+          }.asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              if (overwrite || ov) table.overwrite(data) else table.append(data)
+              ()
+            }
+          }
+      }
+    }
+}

@@ -1,0 +1,176 @@
+package graft.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.command.RunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL `MERGE INTO` against GraftLake tables, through Catalyst.
+  *
+  * Spark's own row-level-operation rewrite requires a full DSv2 write stack
+  * (`SupportsRowLevelOperations` + executor-side `BatchWrite`), and throws
+  * for any other table. This rule intercepts the logical `MergeIntoTable`
+  * BEFORE that rewrite (both live in the analyzer's Resolution batch; this
+  * one matches the still-unaligned form, which the built-in ignores) and
+  * lowers it onto the engine's own CDC-apply kernel — `LakeTable.merge`'s
+  * fused dedup + copy-on-write merge + atomic snapshot commit.
+  *
+  * Supported MERGE shape = the reference DeltaWriter contract
+  * (/root/reference/src/models/writer.py:22-67: PK-equality condition built
+  * from the table's primary key, whenMatchedUpdateAll / whenNotMatchedInsertAll,
+  * plus this engine's delete extension):
+  *
+  * {{{
+  *   MERGE INTO g.db.t t USING src s
+  *   ON t.k1 = s.k1 AND t.k2 = s.k2          -- exactly the table's PK
+  *   [WHEN MATCHED AND <cond-over-s> THEN DELETE]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Any other form (partial SET lists, non-PK conditions, NOT MATCHED BY
+  * SOURCE) falls through to Spark's built-in path, whose error message names
+  * the unsupported feature. Register via
+  * `spark.sql.extensions = graft.sql.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => GraftMergeRewrite)
+  }
+}
+
+object GraftMergeRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _)
+        if source.resolved && notMatchedBySource.isEmpty =>
+      EliminateSubqueryAliases(target) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          val gt = r.table.asInstanceOf[GraftTable]
+          val keys = gt.table.snapshot.keyColumns
+          (keyEquality(cond, keys), classify(matched), insertOnly(notMatched)) match {
+            case (true, Some(deleteCond), true) =>
+              GraftMergeCommand(gt, source, deleteCond)
+            case _ => m // unsupported shape: let Spark's path report it
+          }
+        case _ => m
+      }
+  }
+
+  /** cond must be a conjunction of column equalities covering EXACTLY the
+    * table's key set (name-based — the rule runs before full resolution). */
+  private def keyEquality(cond: Expression, keys: Seq[String]): Boolean = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def colName(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    val pairs = split(cond).map {
+      case EqualTo(l, r) =>
+        (colName(l), colName(r)) match {
+          case (Some(a), Some(b)) if a == b => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    pairs.forall(_.isDefined) && pairs.flatten.toSet == keys.map(_.toLowerCase).toSet
+  }
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase)
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => nameOf(c.child)
+    case _ => None
+  }
+
+  /** `SET *` / `INSERT *` reach this rule either still as star actions or
+    * already expanded by ResolveReferences into identity assignment lists
+    * (t.col := s.col for every column) — accept both spellings. */
+  private def isIdentity(assigns: Seq[Assignment]): Boolean =
+    assigns.nonEmpty && assigns.forall { a =>
+      (nameOf(a.key), nameOf(a.value)) match {
+        case (Some(k), Some(v)) => k == v
+        case _ => false
+      }
+    }
+
+  private def isUpdateAll(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(None) => true
+    case UpdateAction(None, assigns, _) => isIdentity(assigns)
+    case _ => false
+  }
+
+  /** matched actions: one unconditional UPDATE SET * and at most one DELETE
+    * (its condition, over source columns, becomes the op discriminator).
+    * Returns None when the shape is unsupported. */
+  private def classify(matched: Seq[MergeAction]): Option[Option[Expression]] = matched match {
+    case Seq(u) if isUpdateAll(u) => Some(None)
+    case Seq(DeleteAction(c), u) if isUpdateAll(u) =>
+      Some(Some(c.getOrElse(Bridge.expression(lit(true)))))
+    case Seq(u, DeleteAction(c)) if isUpdateAll(u) =>
+      Some(Some(c.getOrElse(Bridge.expression(lit(false)))))
+    case _ => None
+  }
+
+  private def insertOnly(notMatched: Seq[MergeAction]): Boolean = notMatched match {
+    case Seq(InsertStarAction(None)) => true
+    case Seq(InsertAction(None, assigns)) => isIdentity(assigns)
+    case _ => false
+  }
+}
+
+/** The lowered command: executes the source plan, shapes it into a change
+  * batch (op derived from the DELETE condition; all events at one ad-hoc
+  * LSN above the table's committed high-watermark) and applies it through
+  * `LakeTable.merge` — dedup + CoW merge + epoch-fence-preserving commit,
+  * the same kernel every other ingest path uses. */
+case class GraftMergeCommand(
+    @transient graftTable: GraftTable,
+    source: LogicalPlan,
+    deleteCondition: Option[Expression]) extends RunnableCommand {
+
+  override def children: Seq[LogicalPlan] = Seq(source)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): GraftMergeCommand =
+    copy(source = newChildren.head)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = graftTable.table
+    val snap = table.snapshot
+    val src = Bridge.ofRows(session, source)
+    // resolve the delete condition against the source by NAME (qualifiers
+    // stripped): the rule captured it pre-resolution
+    val opCol = deleteCondition match {
+      case Some(c) =>
+        val byName = c.transformUp {
+          case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        }
+        when(Bridge.column(byName), "D").otherwise("U")
+      case None => lit("U")
+    }
+    // all rows of one SQL MERGE share one LSN above the committed watermark:
+    // base rows enter the race at lsn = -1, so the batch wins per key — and
+    // a delete tombstone beats nothing else in the same statement (multiple
+    // source rows per key is undefined under SQL MERGE anyway)
+    val lsn = math.max(snap.lsnHigh, 0L) + 1L
+    val payload = snap.schema.fieldNames.toSeq
+    val batch = src.select(
+      (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payload.map(col)): _*)
+    table.merge(batch, epochId = -1L)
+    Nil
+  }
+}

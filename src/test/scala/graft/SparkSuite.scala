@@ -14,6 +14,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "1048576")
+      // SQL MERGE INTO lowering for GraftCatalog tables (GraftSqlSpec)
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
