@@ -526,11 +526,13 @@ object lake {
       snapshot
     }
 
-    /** Metadata-only commit: merge table properties into the next snapshot
+    /** Metadata-only commit: merge table properties into the next snapshot,
+      * dropping any in `remove`
       * (reference: SetTableProperties DDL, src/delta_engine/execute/ddl.py). */
-    def setProperties(ps: Map[String, String]): Snapshot = {
+    def setProperties(ps: Map[String, String], remove: Seq[String] = Nil): Snapshot = {
       val cur = snapshot
-      val next = cur.copy(version = cur.version + 1, properties = cur.properties ++ ps)
+      val next = cur.copy(version = cur.version + 1,
+        properties = (cur.properties ++ ps) -- remove)
       require(commit(next, fence = false), "setProperties commit failed")
       snapshot
     }

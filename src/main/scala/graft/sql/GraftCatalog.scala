@@ -98,9 +98,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(t, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL is not wired; use the schema-evolution planner (graft.cdc.plan)")
+  /** SQL ALTER TABLE, restricted to the engine's additive evolution contract
+    * (north rule: new nullable columns only; everything else goes through —
+    * and is refused by — the planner/validator, like the reference's
+    * delta_engine safety rules):
+    *  - ADD COLUMNS (nullable, top-level) -> `LakeTable.evolveSchema`
+    *    (metadata-only commit; old files conform on read)
+    *  - SET/UNSET TBLPROPERTIES -> `LakeTable.setProperties` */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = lake.LakeTable.load(spark, rootOf(ident), ident.name())
+    val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (props, unsupported) = rest.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"only additive ADD COLUMNS and TBLPROPERTIES changes are supported; " +
+          s"got ${unsupported.map(_.getClass.getSimpleName).mkString(", ")} " +
+          "(drops/renames/type changes are refused by design — additive evolution only)")
+    if (adds.nonEmpty) {
+      val newFields = adds.map { c =>
+        val a = c.asInstanceOf[TableChange.AddColumn]
+        require(a.fieldNames().length == 1, "nested column adds are not supported")
+        require(a.isNullable, s"new column ${a.fieldNames().head} must be nullable " +
+          "(additive evolution cannot invent values for existing rows)")
+        val f = org.apache.spark.sql.types.StructField(a.fieldNames().head, a.dataType(), nullable = true)
+        Option(a.comment()).filter(_.nonEmpty).map(f.withComment).getOrElse(f)
+      }
+      t.evolveSchema(StructType(t.snapshot.schema.fields ++ newFields))
+    }
+    if (props.nonEmpty) {
+      val sets = props.collect { case p: TableChange.SetProperty => p.property() -> p.value() }.toMap
+      val removes = props.collect { case p: TableChange.RemoveProperty => p.property() }
+      t.setProperties(sets, removes.toSeq)
+    }
+    new GraftTable(t, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = java.nio.file.Paths.get(rootOf(ident))

@@ -113,6 +113,30 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 3)
   }
 
+  test("SQL ALTER TABLE: additive ADD COLUMNS + properties; destructive changes refused") {
+    val cat = freshCatalog("alter")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','1')")
+    // additive nullable column -> metadata-only schema evolution; existing
+    // rows conform on read (null-filled)
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (stars BIGINT)")
+    val row = spark.sql(s"SELECT k, v, stars FROM $cat.db.t").collect()(0)
+    assert(row.getString(0) == "a" && row.isNullAt(2))
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('b','2',7)")
+    assert(spark.sql(s"SELECT stars FROM $cat.db.t WHERE k='b'").collect()(0).getLong(0) == 7L)
+    // properties round-trip incl. UNSET
+    spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('team'='graft')")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("graft"))
+    spark.sql(s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"))
+    // destructive changes are refused by design (additive evolution only)
+    val drop = intercept[Exception] { spark.sql(s"ALTER TABLE $cat.db.t DROP COLUMN v") }
+    assert(drop.getMessage.contains("additive"), drop.getMessage)
+  }
+
   test("q39 end-to-end: SQL MERGE replay equals the engine replay") {
     val sqlState = ops.cdcq.sqlMerge(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
