@@ -209,19 +209,66 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
+  /** Reads surface as a V1 relation WITH column pruning and best-effort
+    * filter pushdown: the pruned projection and translated predicates are
+    * applied to the lake's own DataFrame plan, where Catalyst pushes them
+    * into the underlying parquet scans (ReadSchema/PushedFilters) — a SQL
+    * `SELECT two_cols FROM t WHERE k = 'x'` against a 100 TB table reads two
+    * columns of the matching row groups, not the world. Spark re-applies all
+    * filters above us (default `unhandledFilters`), so partial translation
+    * is always safe. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = snap.schema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = ctx
-            override def schema: StructType = snap.schema
-            override def buildScan(): RDD[Row] =
-              pinnedVersion.map(table.readAt).getOrElse(table.read()).rdd
-          }.asInstanceOf[T]
+          new GraftV1Relation(ctx, snap.schema,
+            () => pinnedVersion.map(table.readAt).getOrElse(table.read())).asInstanceOf[T]
       }
     }
+
+  /** V1 relation over the current lake DataFrame. TableScan satisfies the
+    * V1Scan bound; PrunedFilteredScan is what DataSourceStrategy actually
+    * drives when the query prunes or filters. */
+  private class GraftV1Relation(ctx: SQLContext, tableSchema: StructType,
+      df: () => org.apache.spark.sql.DataFrame)
+    extends BaseRelation with TableScan
+      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    override def sqlContext: SQLContext = ctx
+    override def schema: StructType = tableSchema
+    override def buildScan(): RDD[Row] = df().rdd
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
+      val base = df()
+      val filtered = filters.flatMap(translateFilter).foldLeft(base)(_ filter _)
+      val pruned =
+        if (requiredColumns.isEmpty) filtered.select(org.apache.spark.sql.functions.lit(1))
+        else filtered.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      pruned.rdd
+    }
+    // default BaseRelation.unhandledFilters keeps every filter above us, so
+    // best-effort translation can never drop rows it shouldn't
+    private def translateFilter(
+        f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.sources._
+      f match {
+        case EqualTo(a, v) => Some(col(a) === v)
+        case GreaterThan(a, v) => Some(col(a) > v)
+        case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+        case LessThan(a, v) => Some(col(a) < v)
+        case LessThanOrEqual(a, v) => Some(col(a) <= v)
+        case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+        case IsNull(a) => Some(col(a).isNull)
+        case IsNotNull(a) => Some(col(a).isNotNull)
+        case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+        case And(l, r) => for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc && rc
+        case Or(l, r) => for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc || rc
+        case Not(c) => translateFilter(c).map(!_)
+        case _ => None
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
