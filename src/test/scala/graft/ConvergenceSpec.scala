@@ -108,11 +108,13 @@ class ConvergenceSpec extends SparkSuite {
       epochs <- SGen.choose(2, 5)
       modes <- SGen.listOfN(epochs, SGen.oneOf(true, false)) // true = MoR epoch
       compactAtEnd <- SGen.oneOf(true, false)
+      chunked <- SGen.oneOf(true, false) // per-bucket manifests vs inline list
     } yield (gen.GenConfig(n = n, nKeys = keys, deletePct = del, numPartitions = 4),
-      modes, compactAtEnd)
-    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, modes, compactAtEnd) =>
+      modes, compactAtEnd, chunked)
+    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, modes, compactAtEnd, chunked) =>
       val table = LakeTable.createIfNotExists(spark, tmpDir("prop-mixed"), "t",
-        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4,
+        properties = if (chunked) Map("graft.manifest.chunk" -> "always") else Map.empty)
       val reg = SchemaRegistry.single(RepoRow.schemaV1)
       val cow = new ReplayEngine(table, reg, mode = MergeMode.CoW)
       val mor = new ReplayEngine(table, reg, mode = MergeMode.MoR)
