@@ -191,11 +191,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** One lake table surfaced to Catalyst. `pinnedVersion` = time travel. */
+/** One lake table surfaced to Catalyst. `pinnedVersion` = time travel.
+  *
+  * The snapshot is pinned at construction: one resolved Table = one
+  * consistent snapshot (Iceberg semantics), so a query's schema() and its
+  * scan can never straddle a concurrent commit — and repeated schema()
+  * calls don't re-read manifest JSON. Writes (including MERGE) go through
+  * the underlying LakeTable against its CURRENT state, as they must. */
 class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
   extends Table with SupportsRead with SupportsWrite {
 
-  private def snap = pinnedVersion.map(table.snapshotAt).getOrElse(table.snapshot)
+  private val snap = pinnedVersion.map(table.snapshotAt).getOrElse(table.snapshot)
 
   override def name(): String = table.name
   override def schema(): StructType = snap.schema
@@ -223,7 +229,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         override def readSchema(): StructType = snap.schema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           new GraftV1Relation(ctx, snap.schema,
-            () => pinnedVersion.map(table.readAt).getOrElse(table.read())).asInstanceOf[T]
+            () => table.readBuckets(snap, None)).asInstanceOf[T]
       }
     }
 

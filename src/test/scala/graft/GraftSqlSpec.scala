@@ -137,6 +137,18 @@ class GraftSqlSpec extends SparkSuite {
     assert(drop.getMessage.contains("additive"), drop.getMessage)
   }
 
+  test("a resolved SQL DataFrame pins its snapshot: MVCC across later commits") {
+    val cat = freshCatalog("mvcc2")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','1'), ('b','1')")
+    val df = spark.sql(s"SELECT * FROM $cat.db.t") // resolution pins the snapshot
+    assert(df.count() == 2)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('c','2')")
+    assert(df.count() == 2, "a resolved plan must keep reading its pinned snapshot")
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 3, "fresh resolution sees the commit")
+  }
+
   test("catalog scans prune columns and push filters into the lake's parquet scan") {
     val cat = freshCatalog("prune")
     spark.sql(s"""CREATE TABLE $cat.db.t (repo STRING, path STRING, content STRING)
