@@ -305,7 +305,11 @@ object lake {
     private def nextFileState(cur: Snapshot, removedBuckets: Set[Int],
         added: Seq[DataFile]): (Seq[DataFile], Seq[ManifestRef]) =
       if (!chunkedManifests(cur)) {
-        (cur.files.filterNot(f => removedBuckets(f.bucket)) ++ added, Nil)
+        // filesOf (not cur.files): if the chunk property was ever flipped
+        // off on a chunked table, the manifests migrate back inline instead
+        // of being silently dropped (pure-inline tables pay nothing — the
+        // manifest list is empty)
+        (filesOf(cur).filterNot(f => removedBuckets(f.bucket)) ++ added, Nil)
       } else {
         val addedByBucket = added.groupBy(_.bucket)
         val affected = removedBuckets ++ addedByBucket.keySet
@@ -314,7 +318,10 @@ object lake {
           val list = keptByBucket.getOrElse(b, Nil) ++ addedByBucket.getOrElse(b, Nil)
           if (list.isEmpty) None else Some(writeManifest(b, list))
         }
-        (Nil, cur.manifests.filterNot(m => affected(m.bucket)) ++ newRefs)
+        // inline files of UNaffected buckets stay inline (covers a table
+        // flipped to chunked mid-life — nothing is dropped either way)
+        val inlineCarried = cur.files.filterNot(f => affected(f.bucket))
+        (inlineCarried, cur.manifests.filterNot(m => affected(m.bucket)) ++ newRefs)
       }
 
     // ---- read path ---------------------------------------------------------

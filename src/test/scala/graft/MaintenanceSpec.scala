@@ -122,6 +122,39 @@ class MaintenanceSpec extends SparkSuite {
     golden(table)
   }
 
+  test("flipping the manifest-chunk property mid-life migrates files without loss") {
+    import spark.implicits._
+    def content(t: LakeTable): Set[(String, String)] =
+      t.read().select("path", "content").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def batch(lsn0: Long, paths: Seq[String]) =
+      paths.zipWithIndex.map { case (p, i) =>
+        (lsn0 + i, "U", "r", p, s"c${lsn0 + i}", "scala", s"x-$p")
+      }.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    // inline table -> flip to chunked -> sparse write must not drop the
+    // other buckets' inline files
+    val t1 = LakeTable.createIfNotExists(spark, tmpDir("flip-on"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    new ReplayEngine(t1, SchemaRegistry.single(RepoRow.schemaV1))
+      .applyEpoch(batch(0, (0 until 40).map(i => s"p$i")), 0)
+    val before1 = content(t1)
+    t1.setProperties(Map("graft.manifest.chunk" -> "always"))
+    assert(t1.merge(batch(100, Seq("p0")), epochId = 1).committed)
+    assert(content(t1).map(_._1) == before1.map(_._1), "no keys may vanish on the flip")
+    assert(t1.snapshot.manifests.nonEmpty, "touched bucket must live in a manifest now")
+    // chunked table -> flip back to inline -> manifests migrate inline
+    val t2 = LakeTable.createIfNotExists(spark, tmpDir("flip-off"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8,
+      properties = Map("graft.manifest.chunk" -> "always"))
+    new ReplayEngine(t2, SchemaRegistry.single(RepoRow.schemaV1))
+      .applyEpoch(batch(0, (0 until 40).map(i => s"q$i")), 0)
+    val before2 = content(t2)
+    t2.setProperties(Map.empty, remove = Seq("graft.manifest.chunk"))
+    assert(t2.merge(batch(100, Seq("q0")), epochId = 1).committed)
+    assert(content(t2).map(_._1) == before2.map(_._1), "no rows may vanish on the flip back")
+    assert(t2.snapshot.manifests.isEmpty && t2.snapshot.files.nonEmpty,
+      "manifests must migrate back inline")
+  }
+
   test("4096-bucket manifests: commit is O(touched buckets), untouched refs carried by reference") {
     import org.json4s.NoTypeHints
     import org.json4s.jackson.Serialization
