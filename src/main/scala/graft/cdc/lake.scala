@@ -321,6 +321,9 @@ object lake {
         // inline files of UNaffected buckets stay inline (covers a table
         // flipped to chunked mid-life — nothing is dropped either way)
         val inlineCarried = cur.files.filterNot(f => affected(f.bucket))
+        // superseded manifests leave the cache: a long-lived writer handle
+        // must not accumulate every file list it ever wrote
+        cur.manifests.filter(m => affected(m.bucket)).foreach(m => manifestCache.remove(m.path))
         (inlineCarried, cur.manifests.filterNot(m => affected(m.bucket)) ++ newRefs)
       }
 
@@ -452,6 +455,21 @@ object lake {
     }
 
     private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+
+    /** The change-event protocol reserves `lsn` and `op` as metadata column
+      * names; a payload column with either name would be irresolvably
+      * ambiguous inside the merge aggregation. Fail fast with the reason
+      * instead of surfacing an AMBIGUOUS_REFERENCE from deep in the plan.
+      * (Append/overwrite/read paths carry no metadata columns and accept any
+      * names — e.g. the quarantine table legitimately stores an `lsn`.) */
+    private def requireMergeableSchema(snap: Snapshot): Unit = {
+      val clash = snap.schema.fieldNames.map(_.toLowerCase).toSet
+        .intersect(Set("lsn", "op"))
+      require(clash.isEmpty,
+        s"table '$name' cannot be a MERGE target: payload column(s) ${clash.mkString(", ")} " +
+          "collide with the change-event protocol's reserved metadata columns (lsn, op); " +
+          "rename the column(s) — append/overwrite/read remain available")
+    }
 
     /** Whether a merge/deltaAppend for this snapshot will fuse its per-bucket
       * stats into the write job as observed metrics (dense path) instead of
@@ -613,6 +631,7 @@ object lake {
     def merge(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false,
         preCommit: () => Unit = () => ()): CommitResult = {
       val cur = snapshot
+      requireMergeableSchema(cur)
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       // Dense epochs (most buckets touched) skip the stats pre-pass entirely:
       // the per-bucket stats ride the merge job itself as observed metrics —
@@ -788,6 +807,7 @@ object lake {
     def deltaAppend(batch: DataFrame, epochId: Long, assumeFullTouch: Boolean = false,
         preCommit: () => Unit = () => ()): CommitResult = {
       val cur = snapshot
+      requireMergeableSchema(cur)
       if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
       val keys = cur.keyColumns
       val payload = cur.schema.fieldNames.toSeq
@@ -983,7 +1003,9 @@ object lake {
         val ms = Files.list(mDir)
         try ms.forEach { m =>
           val rel = Paths.get(root).relativize(m).toString
-          if (!keptManifests(rel)) { Files.deleteIfExists(m); manifestsRemoved += 1 }
+          if (!keptManifests(rel)) {
+            Files.deleteIfExists(m); manifestCache.remove(rel); manifestsRemoved += 1
+          }
         } finally ms.close()
       }
       var filesRemoved = 0

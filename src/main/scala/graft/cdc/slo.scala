@@ -68,14 +68,15 @@ object slo {
       * Error-aborted epochs append audit rows UNFENCED (at-least-once, see
       * ReplayEngine), so a crash-retry loop on the same failing epoch can
       * leave duplicate audit rows for one (run_id, check). The inner
-      * max(failed_rows) per (run_id, criticality, function) collapses those
-      * retries before counting — the SLO metric reflects the run's failures,
-      * not its retry count. (function = check_name(column), the per-check
-      * identity.) */
+      * max(failed_rows) per (run_id, table_name, criticality, function)
+      * collapses those retries before counting — the SLO metric reflects the
+      * run's failures, not its retry count. (function = check_name(column);
+      * table_name keeps same-named checks from DIFFERENT tables sharing one
+      * audit table distinct.) */
     def derive(audit: DataFrame): DataFrame = {
       val isErr = col("criticality") === "error"
       audit
-        .groupBy(col("run_id"), col("criticality"), col("function"))
+        .groupBy(col("run_id"), col("table_name"), col("criticality"), col("function"))
         .agg(max("failed_rows").as("failed_rows"))
         .groupBy(col("run_id"))
         .agg(

@@ -108,8 +108,16 @@ object cdcq {
     * not per consuming query. */
   private val auditCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DqTables]()
-  private def dqReplayAudit(spark: SparkSession, dir: String): DqTables =
+  private def dqReplayAudit(spark: SparkSession, dir: String): DqTables = {
+    purgeStopped(auditCache)
     auditCache.computeIfAbsent((spark, dir), _ => dqReplayAuditBuild(spark, dir))
+  }
+
+  /** Entries keyed by a stopped session are dead weight (and their cached
+    * handles reference a dead context) — drop them before any lookup. */
+  private def purgeStopped[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit =
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
 
   private def dqReplayAuditBuild(spark: SparkSession, dir: String): DqTables = {
     import graft.cdc.model._
@@ -270,7 +278,8 @@ object cdcq {
     * Verify/Bench/test sessions). Returns the catalog name. */
   private val sqlMergeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  private def sqlMergeTable(spark: SparkSession, dir: String): String =
+  private def sqlMergeTable(spark: SparkSession, dir: String): String = {
+    purgeStopped(sqlMergeCache)
     sqlMergeCache.computeIfAbsent((spark, dir), _ => {
       // catalog name must be unique per (session, dir): catalog plugin
       // instances are cached by name with their warehouse at first load
@@ -298,10 +307,11 @@ object cdcq {
               ON t.repo = s.repo AND t.path = s.path
               WHEN MATCHED AND s.op = 'D' THEN DELETE
               WHEN MATCHED THEN UPDATE SET *
-              WHEN NOT MATCHED THEN INSERT *""")
+              WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""")
       }
       cat
     })
+  }
 
   /** SQL MERGE INTO through Catalyst (SURVEY §7.5 step 8): same oracle as
     * the programmatic replay — the SQL surface and the engine API converge

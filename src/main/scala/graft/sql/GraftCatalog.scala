@@ -89,6 +89,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * Everything else is carried verbatim into snapshot properties. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported: GraftLake tables are hash-bucketed on the " +
+          "primary key (TBLPROPERTIES 'primary_key'/'buckets') — refusing beats silently " +
+          "ignoring the requested layout")
     val props = properties.asScala.toMap
     val keys = props.get("primary_key").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val buckets = props.get("buckets").map(_.toInt).getOrElse(32)
@@ -276,10 +281,23 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     }
   }
 
+  /** SupportsOverwrite (not just truncate) because the advertised
+    * OVERWRITE_BY_FILTER capability routes filtered overwrites here: a
+    * full-table filter set becomes truncate-overwrite, anything else is
+    * refused AT BUILD TIME with a clear message instead of failing
+    * mid-execution. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (!filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          throw new UnsupportedOperationException(
+            s"partial overwrite by filter is not supported (got ${filters.mkString(", ")}); " +
+              "use MERGE INTO for keyed replacement or INSERT OVERWRITE for full replacement")
+        overwrite = true
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {

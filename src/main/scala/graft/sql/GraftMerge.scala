@@ -33,12 +33,21 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   ON t.k1 = s.k1 AND t.k2 = s.k2          -- exactly the table's PK
   *   [WHEN MATCHED AND <cond-over-s> THEN DELETE]
   *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
+  *   WHEN NOT MATCHED [AND <cond-over-s>] THEN INSERT *
   * }}}
   *
-  * Any other form (partial SET lists, non-PK conditions, NOT MATCHED BY
-  * SOURCE) falls through to Spark's built-in path, whose error message names
-  * the unsupported feature. Register via
+  * The leg conditions must reference SOURCE columns only (the CDC shape —
+  * e.g. `s.op = 'delete'`); target-side or unqualified references fall
+  * through rather than silently rebinding. ANSI matched/not-matched
+  * semantics are preserved: the DELETE leg applies only to keys PRESENT in
+  * the target (a source "delete" for an absent key falls to the NOT MATCHED
+  * leg and inserts unless the insert condition excludes it — write
+  * `WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT *` for tombstone
+  * streams).
+  *
+  * Any other form (partial SET lists, non-PK or tautological conditions,
+  * NOT MATCHED BY SOURCE) falls through to Spark's built-in path, whose
+  * error message names the unsupported feature. Register via
   * `spark.sql.extensions = graft.sql.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -56,31 +65,59 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
         case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
           val gt = r.table.asInstanceOf[GraftTable]
           val keys = gt.table.snapshot.keyColumns
-          (keyEquality(cond, keys), classify(matched), insertOnly(notMatched)) match {
-            case (true, Some(deleteCond), true) =>
-              GraftMergeCommand(gt, source, deleteCond)
+          (keyEquality(cond, keys), classify(matched), classifyInsert(notMatched)) match {
+            case (true, Some(deleteCond), Some(insertCond))
+                if deleteCond.forall(sourceOnly(_, source)) &&
+                  insertCond.forall(sourceOnly(_, source)) =>
+              GraftMergeCommand(gt, source, deleteCond, insertCond)
             case _ => m // unsupported shape: let Spark's path report it
           }
         case _ => m
       }
   }
 
+  /** The leg conditions may reference SOURCE columns only: every resolved
+    * attribute must come from the source's output, and every unresolved one
+    * must be qualified with the source's alias. Target-side or unqualified
+    * references make the shape unsupported — falling through to Spark's
+    * error beats silently rebinding `t.x` to the source's same-named
+    * column. */
+  private def sourceOnly(cond: Expression, source: LogicalPlan): Boolean = {
+    val srcAlias = source match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case _ => None
+    }
+    def ok(e: Expression): Boolean = e match {
+      case u: UnresolvedAttribute =>
+        u.nameParts.length > 1 && srcAlias.contains(u.nameParts.head.toLowerCase)
+      case a: AttributeReference => source.outputSet.contains(a)
+      case other => other.children.forall(ok)
+    }
+    ok(cond)
+  }
+
   /** cond must be a conjunction of column equalities covering EXACTLY the
-    * table's key set (name-based — the rule runs before full resolution). */
+    * table's key set, with the two sides of each equality provably coming
+    * from DIFFERENT relations (distinct qualifiers pre-resolution, distinct
+    * exprIds post-resolution) — otherwise `t.k = t.k`-style tautologies
+    * would lower to a PK merge while meaning something entirely different.
+    * Name-based because the rule runs before full resolution. */
   private def keyEquality(cond: Expression, keys: Seq[String]): Boolean = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    def colName(e: Expression): Option[String] = e match {
-      case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase)
-      case a: AttributeReference => Some(a.name.toLowerCase)
+    // (column name, relation tag) — tag is the qualifier or the exprId
+    def side(e: Expression): Option[(String, String)] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+        Some(u.nameParts.last.toLowerCase -> u.nameParts.init.mkString(".").toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase -> s"#${a.exprId.id}")
       case _ => None
     }
     val pairs = split(cond).map {
       case EqualTo(l, r) =>
-        (colName(l), colName(r)) match {
-          case (Some(a), Some(b)) if a == b => Some(a)
+        (side(l), side(r)) match {
+          case (Some((a, qa)), Some((b, qb))) if a == b && qa != qb => Some(a)
           case _ => None
         }
       case _ => None
@@ -124,22 +161,28 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def insertOnly(notMatched: Seq[MergeAction]): Boolean = notMatched match {
-    case Seq(InsertStarAction(None)) => true
-    case Seq(InsertAction(None, assigns)) => isIdentity(assigns)
-    case _ => false
-  }
+  /** not-matched actions: one INSERT * with an optional (source-only)
+    * condition. Some(None) = unconditional, Some(Some(c)) = conditional,
+    * None = unsupported shape. */
+  private def classifyInsert(notMatched: Seq[MergeAction]): Option[Option[Expression]] =
+    notMatched match {
+      case Seq(InsertStarAction(c)) => Some(c)
+      case Seq(InsertAction(c, assigns)) if isIdentity(assigns) => Some(c)
+      case _ => None
+    }
 }
 
 /** The lowered command: executes the source plan, shapes it into a change
-  * batch (op derived from the DELETE condition; all events at one ad-hoc
-  * LSN above the table's committed high-watermark) and applies it through
+  * batch (op derived from the DELETE condition, ANSI matched-ness decided by
+  * a key-pruned join against the target; all events at one ad-hoc LSN above
+  * the table's committed high-watermark) and applies it through
   * `LakeTable.merge` — dedup + CoW merge + epoch-fence-preserving commit,
   * the same kernel every other ingest path uses. */
 case class GraftMergeCommand(
     @transient graftTable: GraftTable,
     source: LogicalPlan,
-    deleteCondition: Option[Expression]) extends RunnableCommand {
+    deleteCondition: Option[Expression],
+    insertCondition: Option[Expression]) extends RunnableCommand {
 
   override def children: Seq[LogicalPlan] = Seq(source)
 
@@ -151,24 +194,40 @@ case class GraftMergeCommand(
     val table = graftTable.table
     val snap = table.snapshot
     val src = Bridge.ofRows(session, source)
-    // resolve the delete condition against the source by NAME (qualifiers
-    // stripped): the rule captured it pre-resolution
-    val opCol = deleteCondition match {
-      case Some(c) =>
-        val byName = c.transformUp {
-          case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
-          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-        }
-        when(Bridge.column(byName), "D").otherwise("U")
-      case None => lit("U")
-    }
+    // leg conditions are source-only by the rule's contract; rebind them
+    // against the source DataFrame by name (qualifiers stripped)
+    def byName(c: Expression): org.apache.spark.sql.Column = Bridge.column(c.transformUp {
+      case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+    val keys = snap.keyColumns
+    // ANSI matched-ness: the DELETE leg fires only for keys PRESENT in the
+    // target, the insert condition only gates ABSENT ones. One key-pruned
+    // left join against the target's key columns (unique by the merge
+    // invariant) decides per source row; skipped entirely when both legs
+    // are unconditional (then MERGE ≡ plain upsert and matched-ness is
+    // irrelevant).
+    val needMatch = deleteCondition.isDefined || insertCondition.isDefined
+    val flagged =
+      if (!needMatch) src.withColumn("_matched", lit(true))
+      else {
+        val tgtKeys = table.readBuckets(snap, None)
+          .select(keys.map(col): _*).withColumn("_matched", lit(true))
+        src.join(tgtKeys, keys, "left")
+          .withColumn("_matched", coalesce(col("_matched"), lit(false)))
+      }
+    val delC = deleteCondition.map(byName).getOrElse(lit(false))
+    val insC = insertCondition.map(byName).getOrElse(lit(true))
+    // matched rows always participate (update or delete); unmatched rows
+    // only when the insert condition admits them
+    val kept = flagged.filter(col("_matched") || insC)
+    val opCol = when(col("_matched") && delC, "D").otherwise("U")
     // all rows of one SQL MERGE share one LSN above the committed watermark:
-    // base rows enter the race at lsn = -1, so the batch wins per key — and
-    // a delete tombstone beats nothing else in the same statement (multiple
-    // source rows per key is undefined under SQL MERGE anyway)
+    // base rows enter the race at lsn = -1, so the batch wins per key
+    // (multiple source rows per key is undefined under SQL MERGE anyway)
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
     val payload = snap.schema.fieldNames.toSeq
-    val batch = src.select(
+    val batch = kept.select(
       (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payload.map(col)): _*)
     table.merge(batch, epochId = -1L)
     Nil

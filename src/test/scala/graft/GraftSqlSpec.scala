@@ -81,20 +81,67 @@ class GraftSqlSpec extends SparkSuite {
     val cat = freshCatalog("mbad")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
                   TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    def refused(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains("MERGE INTO TABLE"), e.getMessage)
+    }
     // partial SET list is NOT the reference merge contract -> built-in path
+    refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
+                WHEN MATCHED THEN UPDATE SET t.v = 'zz'""")
+    // non-PK condition likewise
+    refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.v = s.v
+                WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    // tautological ON (both sides the same relation) must NOT lower to a PK
+    // merge — it means something entirely different under real MERGE
+    refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = t.k
+                WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    // a DELETE condition over TARGET columns would silently rebind to the
+    // source's same-named column — refused instead
+    refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
+                WHEN MATCHED AND t.v = 'x' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+  }
+
+  test("SQL MERGE keeps ANSI matched semantics: absent-key 'deletes' hit the INSERT leg") {
+    val cat = freshCatalog("mansi")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','I','1')")
+    // unconditional INSERT *: a source 'delete' for an ABSENT key is NOT
+    // matched, so ANSI inserts it (the DELETE leg is a matched-only leg)
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'D' kind, '' v UNION ALL SELECT 'zz', 'D', 'x') s
+          ON t.k = s.k
+          WHEN MATCHED AND s.kind = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val s1 = spark.sql(s"SELECT k FROM $cat.db.t ORDER BY k").collect().map(_.getString(0)).toSeq
+    assert(s1 == Seq("zz"), s"matched 'a' deleted, unmatched 'zz' inserted: $s1")
+    // tombstone-stream form: the insert condition excludes deletes, so an
+    // absent-key delete is a no-op
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'nope' k, 'D' kind, '' v) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.kind = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED AND s.kind <> 'D' THEN INSERT *""")
+    val s2 = spark.sql(s"SELECT k FROM $cat.db.t ORDER BY k").collect().map(_.getString(0)).toSeq
+    assert(s2 == Seq("zz"), s"absent-key tombstone must be a no-op: $s2")
+  }
+
+  test("MERGE target with a payload column named op/lsn is refused with a clear error") {
+    val cat = freshCatalog("mres")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, op STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','I')") // append path: any names OK
     val e = intercept[Exception] {
       spark.sql(
-        s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
-            WHEN MATCHED THEN UPDATE SET t.v = 'zz'""")
-    }
-    assert(e.getMessage.contains("MERGE INTO TABLE"), e.getMessage)
-    // non-PK condition likewise
-    val e2 = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.v = s.v
+        s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'U' op) s ON t.k = s.k
             WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
     }
-    assert(e2.getMessage.contains("MERGE INTO TABLE"), e2.getMessage)
+    assert(e.getMessage.contains("reserved metadata columns"), e.getMessage)
   }
 
   test("SQL time travel: VERSION AS OF reads historical snapshots exactly") {
@@ -179,6 +226,12 @@ class GraftSqlSpec extends SparkSuite {
     val tt = ops.cdcq.sqlTimeTravel(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tt("v_final") == sqlState.size.toLong)
-    assert(tt("v_mid") > 0 && tt("v_mid") <= tt("v_final") + tt("v_mid")) // sane mid-state
+    // exact mid-state oracle: latest-per-key non-delete among the first half
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val half = (ev.agg(max("event_id")).collect()(0).getLong(0) + 2) / 2
+    val expectedMid = ev.filter(col("event_id") < half)
+      .groupBy("user_id").agg(max_by(col("event_type"), col("event_id")).as("t"))
+      .filter(col("t") =!= "error").count()
+    assert(tt("v_mid") == expectedMid, s"v_mid ${tt("v_mid")} != oracle $expectedMid")
   }
 }

@@ -50,11 +50,11 @@ class SloSpec extends SparkSuite {
 
   test("quality: audit rows aggregate to per-run counts split by criticality") {
     val audit = Seq(
-      ("warn", 3L, 7L, "is_in_list(lang)"),
-      ("warn", 3L, 2L, "min_value(value)"),
-      ("error", 3L, 1L, "is_not_null(repo)"),
-      ("warn", 4L, 5L, "is_in_list(lang)"))
-      .toDF("criticality", "run_id", "failed_rows", "function")
+      ("warn", 3L, 7L, "is_in_list(lang)", "t1"),
+      ("warn", 3L, 2L, "min_value(value)", "t1"),
+      ("error", 3L, 1L, "is_not_null(repo)", "t1"),
+      ("warn", 4L, 5L, "is_in_list(lang)", "t1"))
+      .toDF("criticality", "run_id", "failed_rows", "function", "table_name")
     val got = QualitySlo.derive(audit).orderBy("run_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == Seq((3L, 1L, 2L, 1L, 9L), (4L, 0L, 1L, 0L, 5L)))
@@ -65,12 +65,24 @@ class SloSpec extends SparkSuite {
     // three retries of the same failing run leave three copies of each row —
     // derive must count the run's failures once, not x retries
     val oneAttempt = Seq(
-      ("error", 7L, 4L, "is_not_null(repo)"),
-      ("warn", 7L, 2L, "min_value(value)"))
+      ("error", 7L, 4L, "is_not_null(repo)", "t1"),
+      ("warn", 7L, 2L, "min_value(value)", "t1"))
     val audit = (oneAttempt ++ oneAttempt ++ oneAttempt)
-      .toDF("criticality", "run_id", "failed_rows", "function")
+      .toDF("criticality", "run_id", "failed_rows", "function", "table_name")
     val got = QualitySlo.derive(audit).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == Seq((7L, 1L, 1L, 4L, 2L)))
+  }
+
+  test("quality: same-named checks from DIFFERENT tables are not collapsed as retries") {
+    // two tables share the audit table and both fire is_not_null(repo) in
+    // run 5 — that is two distinct failing checks, not a retry of one
+    val audit = Seq(
+      ("error", 5L, 4L, "is_not_null(repo)", "orders"),
+      ("error", 5L, 2L, "is_not_null(repo)", "users"))
+      .toDF("criticality", "run_id", "failed_rows", "function", "table_name")
+    val got = QualitySlo.derive(audit).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((5L, 2L, 6L)), s"got ${got.toSeq}")
   }
 }
