@@ -163,6 +163,10 @@ class CdcReplaySpec extends SparkSuite {
       morEngine.applyEpoch(batch(0, badLang = true), 0, knownInputCount = Some(n.toLong))
     }
     assert(morTable.snapshot.files.isEmpty, "MoR error abort must commit no delta files")
+    // the aborted write's files are unreferenced orphans — vacuum reclaims them
+    val (_, orphans) = morTable.vacuum(keepSnapshots = 1)
+    assert(orphans > 0, "vacuum must reclaim the aborted epoch's orphan files")
+    assert(morTable.snapshot.files.isEmpty && morTable.read().count() == 0)
   }
 
   test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
