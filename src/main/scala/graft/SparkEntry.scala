@@ -10,7 +10,7 @@ import graft.ops._
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
   * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
-  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (43 of 43) —
+  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (48 of 48) —
   * including the hash-sketch/ANN family, whose sha256-derived components and
   * literal-embedded hyperplane/centroid geometry are bit-reproducible in SQL.
   */
@@ -65,6 +65,7 @@ object SparkEntry {
     // OpsSpec's recall-vs-brute-force test)
     "q29b_ann_lsh" -> ((s, d) => similarity.annLsh(s, d)),
     "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 0)),
+    "q40_near_dup_lsh" -> ((s, d) => similarity.nearDupPairsLsh(s, d)),
     // multimodal plumbing
     "q33_media_meta" -> (multimodal.mediaMeta _),
     // the CDC engine end-to-end
@@ -155,6 +156,28 @@ object SparkEntry {
      SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
       (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
      WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
+  /** q40: same 4x8 seeded hyperplane banding as q29b, but ALL colliding
+    * pairs (a < b) exact-rescored against a cosine threshold — the LSH
+    * pair-generation dedup path with both sides the full corpus. */
+  private lazy val nearDupLshOracleSql: String = {
+    val nPlanes = 8; val nBands = 4
+    val planes = similarity.hyperplanes(nPlanes * nBands, 64)
+    def sig(b: Int): String = (0 until nPlanes).map { i =>
+      val arr = planes(b * nPlanes + i).map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandIds = (0 until nBands).mkString("[", ",", "]")
+    val sigList = (0 until nBands).map(sig).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     b AS (SELECT vec_id, unnest($bandIds) AS band, unnest($sigList) AS sig FROM e),
+     cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id FROM b a
+              JOIN b c ON a.band = c.band AND a.sig = c.sig AND a.vec_id < c.vec_id)
+     SELECT a_id, b_id, round(list_cosine_similarity(x.emb, y.emb),4) AS cos
+     FROM cand JOIN e x ON x.vec_id = a_id JOIN e y ON y.vec_id = b_id
+     WHERE round(list_cosine_similarity(x.emb, y.emb),4) >= 0.35
+     ORDER BY a_id, b_id"""
   }
 
   /** q29c: IVF with lloydIters=0 — centroids are exactly the first 8 vectors,
@@ -345,6 +368,7 @@ object SparkEntry {
     "q27_simhash" -> simhashOracleSql,
     "q29b_ann_lsh" -> annLshOracleSql,
     "q29c_ann_ivf" -> annIvfOracleSql,
+    "q40_near_dup_lsh" -> nearDupLshOracleSql,
     "q28_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS q_id, b.vec_id AS c_id,

@@ -137,6 +137,39 @@ object similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding near-duplicate PAIR generation at scale: candidate pairs come
+    * only from LSH band-bucket collisions (never an all-pairs product), each
+    * surviving candidate is exact-rescored ONCE, and pairs at or above
+    * `threshold` survive. The pair-generation analog of [[annLsh]]'s top-k —
+    * the scale path for embedding-level corpus dedup, where
+    * [[cosinePairs]]'s broadcast-query shape doesn't apply because BOTH
+    * sides are the full corpus. Expected bucket size is corpus/2^nPlanes per
+    * band; candidate volume is quadratic per bucket — the standard LSH dedup
+    * trade, dialed by nPlanes (precision) and nBands (recall). */
+  def nearDupPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      nPlanes: Int = 8, nBands: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes * nBands, 64)
+    val bandSigs = (0 until nBands).map { b =>
+      lshSignature(col("emb"), planes.slice(b * nPlanes, (b + 1) * nPlanes))
+    }
+    val e = emb(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("sigs", array(bandSigs: _*))
+    val bands = e.select(col("vec_id"), col("emb"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val right = bands.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+      col("band"), col("sig"))
+    // bucket-local self-join on (band, sig); a<b halves the pairs, distinct
+    // collapses multi-band collisions to one rescore
+    val cand = bands.join(right, Seq("band", "sig"))
+      .filter(col("vec_id") < col("b_id"))
+      .dropDuplicates("vec_id", "b_id")
+    cand.select(col("vec_id").as("a_id"), col("b_id"),
+        round(cosine(col("emb"), col("b_emb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Multi-band LSH ANN: `nBands` independent 8-bit hyperplane signatures
     * per vector; a corpus vector is a candidate for a query if they collide
     * in ANY band (the standard OR-amplification — recall 1-(1-p^b)^L instead

@@ -67,6 +67,29 @@ class OpsSpec extends SparkSuite {
     sh.foreach(r => assert(r.getInt(2) <= 8))
   }
 
+  test("near-dup pair generation: LSH pairs are exact-rescored, thresholded, deduped") {
+    val threshold = 0.2
+    val pairs = ops.similarity.nearDupPairsLsh(spark, sf, threshold = threshold).collect()
+    assert(pairs.nonEmpty, "the corpus must yield some colliding near-dup pairs")
+    // every pair above threshold, a < b, and unique (multi-band collisions collapsed)
+    assert(pairs.forall(_.getDouble(2) >= threshold))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "pairs must be distinct across bands")
+    // rescores are EXACT: each reported cos matches the brute-force cosine
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val exact = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(ops.similarity.cosine(col("a_emb"), col("b_emb")), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2), s"rescore mismatch at $r")
+    }
+  }
+
   test("ANN-LSH results are a subset of correct cosine scores (vs brute force)") {
     val bf = similarity.bruteForceTopK(spark, sf, maxQueryId = 5, k = 50)
       .select("q_id", "c_id", "cos").collect()
