@@ -148,10 +148,15 @@ object ingest {
         failures: Seq[quality.CheckFailure], withMeta: DataFrame, epochId: Long): Unit = {
       val hasErrors = failures.exists(_.criticality == "error")
       val fenceId = if (hasErrors) -1L else epochId
+      // the fence on the SIDE tables is scoped per source table: several
+      // engines may share one audit/quarantine table, and a global fence
+      // would let engine A's epoch-N append silently drop engine B's later
+      // append for any epoch <= N (see LakeTable.append fenceScope)
+      val scope = Some(table.name)
       auditTable.foreach { at =>
         at.append(quality.DataQualityChecks.auditRows(
           table.spark, failures, table.name, jobId = epochId, runId = epochId),
-          epochId = fenceId)
+          epochId = fenceId, fenceScope = scope)
       }
       quarantineTable.foreach { qt =>
         val quarantine = g.split(withMeta.where(col("op") =!= "D")).quarantine
@@ -159,7 +164,7 @@ object ingest {
           .withColumn("_warnings", to_json(col("_warnings")))
           .withColumn("_errors", to_json(col("_errors")))
         qt.append(quarantine.select(qt.snapshot.schema.fieldNames.map(col).toSeq: _*),
-          epochId = fenceId)
+          epochId = fenceId, fenceScope = scope)
       }
       if (hasErrors) throw new quality.QualityGateError(failures.filter(_.criticality == "error"))
     }

@@ -78,6 +78,12 @@ object lake {
         * committed after snapshot v carries lsn > v.lsnHigh (binlog ordering
         * contract), so post-v changes were lost iff foldedLsnHigh > v.lsnHigh. */
       foldedLsnHigh: Option[Long] = None,
+      /** Commit wall-clock (epoch millis), stamped by [[LakeTable.commit]] —
+        * resolves `TIMESTAMP AS OF` time travel and age-based vacuum
+        * retention. None on manifests written before the field existed
+        * (json4s fills defaults, so old manifests stay readable); such
+        * snapshots are treated as arbitrarily old. */
+      committedAt: Option[Long] = None,
       /** Chunked-manifest mode (auto above 64 buckets): the file list lives
         * in per-bucket manifest files referenced here instead of inline in
         * `files`. A commit rewrites ONLY the touched buckets' manifests and
@@ -121,6 +127,13 @@ object lake {
       cause)
 
   private implicit val jsonFormats: Formats = Serialization.formats(NoTypeHints)
+
+  /** Highest snapshot format this reader understands: 1 = inline file list,
+    * 2 = adds chunked per-bucket manifests (`Snapshot.manifests`). A reader
+    * that ignored `manifests` would silently see a partial table, so
+    * [[LakeTable.snapshotAt]] refuses any snapshot above this version —
+    * the same reader/format-version gate Iceberg and Delta apply. */
+  val SupportedFormatVersion = 2
 
   /** Phase timing, enabled with -Dgraft.debug.timing=1 (dev/bench only). */
   private[cdc] def timed[T](label: String)(f: => T): T =
@@ -187,8 +200,14 @@ object lake {
     def snapshot: Snapshot = snapshotAt(currentVersionOpt.getOrElse(
       throw new IllegalStateException(s"table $name at $root has no snapshot")))
 
-    def snapshotAt(v: Long): Snapshot =
-      Serialization.read[Snapshot](Files.readString(snapPath(v)))
+    def snapshotAt(v: Long): Snapshot = {
+      val s = Serialization.read[Snapshot](Files.readString(snapPath(v)))
+      require(s.formatVersion <= SupportedFormatVersion,
+        s"snapshot v$v of '$name' has formatVersion ${s.formatVersion}, but this reader " +
+          s"supports <= $SupportedFormatVersion — refusing to read a partial view; " +
+          "upgrade the graft library")
+      s
+    }
 
     /** Atomic snapshot commit with epoch fence. Returns false iff fenced.
       * Metadata-only commits (schema evolution) pass `fence = false`: they
@@ -202,7 +221,12 @@ object lake {
           s"non-monotonic commit: have v${cur.version}, got v${next.version}")
       }
       val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
-      Files.writeString(tmp, Serialization.write(next))
+      // stamp the commit wall-clock and normalize the format version: chunked
+      // manifests are a format-2 feature, and bumping ONLY when they appear
+      // keeps pure-inline tables readable by format-1 readers forever
+      val stamped = next.copy(committedAt = Some(System.currentTimeMillis()),
+        formatVersion = if (next.manifests.nonEmpty) 2 else next.formatVersion)
+      Files.writeString(tmp, Serialization.write(stamped))
       // Claim the manifest name with fail-if-exists semantics: a hard link is
       // atomic AND refuses an existing target on POSIX, unlike ATOMIC_MOVE
       // (which silently replaces). Losing one of two concurrent writers is the
@@ -520,16 +544,35 @@ object lake {
     }
 
     /** Append without rewriting (reference: src/models/data_quality_evaluator.py:67-68).
-      * Unfenced appends (epochId = -1) carry the fence forward (see overwrite). */
-    def append(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L): CommitResult = {
+      * Unfenced appends (epochId = -1) carry the fence forward (see overwrite).
+      *
+      * `fenceScope`: idempotence fence keyed per SOURCE rather than the table's
+      * single global epoch fence — a shared side table (e.g. one
+      * data_quality_checks audit table fed by several ReplayEngines) stores
+      * one high-watermark per scope in its snapshot properties
+      * (`graft.fence.<scope>`), so engine A's epoch-5 append can never fence
+      * out engine B's later epoch-3 append. Scoped appends leave the global
+      * epoch fence untouched. */
+    def append(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L,
+        fenceScope: Option[String] = None): CommitResult = {
       val cur = snapshot
-      if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
-      val next0 = cur.copy(version = cur.version + 1, epochId = math.max(epochId, cur.epochId),
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh))
+      val scopedKey = fenceScope.map(s => s"graft.fence.$s")
+      scopedKey match {
+        case Some(k) =>
+          if (epochId >= 0 && cur.properties.get(k).exists(_.toLong >= epochId))
+            return CommitResult(committed = false, cur, Nil) // replayed epoch for this scope
+        case None =>
+          if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      }
+      val next0 = cur.copy(version = cur.version + 1,
+        epochId = if (scopedKey.isEmpty) math.max(epochId, cur.epochId) else cur.epochId,
+        lsnHigh = math.max(lsnHigh, cur.lsnHigh),
+        properties = scopedKey.filter(_ => epochId >= 0)
+          .map(k => cur.properties + (k -> epochId.toString)).getOrElse(cur.properties))
       val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
       val (nf, nm) = nextFileState(cur, Set.empty, added)
       val next = next0.copy(files = nf, manifests = nm)
-      val ok = commit(next, fence = epochId >= 0)
+      val ok = commit(next, fence = scopedKey.isEmpty && epochId >= 0)
       val lin = added.groupBy(_.bucket).map { case (b, fs) =>
         LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
           fs.map(_.rows).sum, 0L, fs.size, 0, nowTs())
@@ -950,6 +993,19 @@ object lake {
     def readAt(version: Long): DataFrame = {
       val snap = snapshotAt(version)
       readBuckets(snap, None)
+    }
+
+    /** Resolve `TIMESTAMP AS OF`: the LARGEST snapshot version whose commit
+      * wall-clock is at or before `tsMillis` (Iceberg/Delta semantics).
+      * Pre-committedAt manifests count as arbitrarily old, so they resolve
+      * for any timestamp. Throws if the timestamp predates every retained
+      * snapshot. */
+    def versionAt(tsMillis: Long): Long = {
+      val eligible = history().filter(v => snapshotAt(v).committedAt.getOrElse(0L) <= tsMillis)
+      require(eligible.nonEmpty,
+        s"no snapshot of '$name' committed at or before timestamp $tsMillis " +
+          "(it predates the table, or older snapshots were vacuumed)")
+      eligible.max
     }
 
     /** List snapshot versions currently on disk (oldest first). */

@@ -73,6 +73,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(lake.LakeTable.load(spark, rootOf(ident), ident.name()), Some(version.toLong))
   }
 
+  /** Time travel: `TIMESTAMP AS OF <ts>` — Spark hands the session-zone
+    * timestamp as MICROseconds since epoch; resolve the largest snapshot
+    * committed at or before it (LakeTable.versionAt). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    val t = lake.LakeTable.load(spark, rootOf(ident), ident.name())
+    new GraftTable(t, Some(t.versionAt(Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
     if (!java.nio.file.Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
@@ -186,8 +195,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = java.nio.file.Paths.get((warehouse +: namespace).mkString("/"))
     if (!java.nio.file.Files.isDirectory(dir)) return false
-    if (!cascade && listTables(namespace).nonEmpty)
-      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    // the emptiness check must recurse: createNamespace supports nested
+    // namespaces, so a table anywhere UNDER this directory (not just a
+    // direct child) makes a non-cascade drop destructive
+    if (!cascade) {
+      val w = java.nio.file.Files.walk(dir)
+      val hasTable =
+        try w.anyMatch(p => java.nio.file.Files.isDirectory(p) && lake.LakeTable.exists(p.toString))
+        finally w.close()
+      if (hasTable)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    }
     val w = java.nio.file.Files.walk(dir)
     try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

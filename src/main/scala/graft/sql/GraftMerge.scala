@@ -178,6 +178,14 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
   * the table's committed high-watermark) and applies it through
   * `LakeTable.merge` — dedup + CoW merge + epoch-fence-preserving commit,
   * the same kernel every other ingest path uses. */
+object GraftMergeCommand {
+  /** Observability/test hook: (files read by the last matched-ness probe,
+    * total files in that snapshot) — proves the probe prunes to the source
+    * batch's buckets instead of scanning the table. */
+  val lastProbe =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Int, Int)]](None)
+}
+
 case class GraftMergeCommand(
     @transient graftTable: GraftTable,
     source: LogicalPlan,
@@ -202,26 +210,44 @@ case class GraftMergeCommand(
     })
     val keys = snap.keyColumns
     // ANSI matched-ness: the DELETE leg fires only for keys PRESENT in the
-    // target, the insert condition only gates ABSENT ones. One key-pruned
-    // left join against the target's key columns (unique by the merge
-    // invariant) decides per source row; skipped entirely when both legs
-    // are unconditional (then MERGE ≡ plain upsert and matched-ness is
-    // irrelevant).
+    // target, the insert condition only gates ABSENT ones. One key- AND
+    // bucket-pruned left join against the target's key columns (unique by
+    // the merge invariant) decides per source row; skipped entirely when
+    // both legs are unconditional (then MERGE ≡ plain upsert and
+    // matched-ness is irrelevant). The flag column name is salted so a
+    // source that legitimately carries a `_matched` column can never make
+    // the join ambiguous or rebind the coalesce.
     val needMatch = deleteCondition.isDefined || insertCondition.isDefined
+    val matchedCol = s"_matched_${java.util.UUID.randomUUID().toString.take(8)}"
     val flagged =
-      if (!needMatch) src.withColumn("_matched", lit(true))
+      if (!needMatch) src.withColumn(matchedCol, lit(true))
       else {
-        val tgtKeys = table.readBuckets(snap, None)
-          .select(keys.map(col): _*).withColumn("_matched", lit(true))
+        // prune the probe to the buckets the source batch touches: one
+        // narrow pre-pass over the source's (cast) key columns yields the
+        // bucket set, and only those buckets' key columns are read — at the
+        // 100 TB envelope a sparse MERGE batch probes a few buckets' files,
+        // never the whole table. (The source plan runs once more here; a
+        // MERGE source is batch-sized by contract, the target is not.)
+        val keyTypes = snap.schema.fields.filter(f => keys.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap
+        val castKeys = keys.map(k => col(k).cast(keyTypes(k)).as(k))
+        val touched = src.select(castKeys: _*)
+          .select(table.bucketExpr(snap).as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val probeFiles = table.filesOfBuckets(snap, Some(touched))
+        GraftMergeCommand.lastProbe.set(Some(
+          (probeFiles.size, table.filesOfBuckets(snap, None).size)))
+        val tgtKeys = table.readBuckets(snap, Some(touched))
+          .select(keys.map(col): _*).withColumn(matchedCol, lit(true))
         src.join(tgtKeys, keys, "left")
-          .withColumn("_matched", coalesce(col("_matched"), lit(false)))
+          .withColumn(matchedCol, coalesce(col(matchedCol), lit(false)))
       }
     val delC = deleteCondition.map(byName).getOrElse(lit(false))
     val insC = insertCondition.map(byName).getOrElse(lit(true))
     // matched rows always participate (update or delete); unmatched rows
     // only when the insert condition admits them
-    val kept = flagged.filter(col("_matched") || insC)
-    val opCol = when(col("_matched") && delC, "D").otherwise("U")
+    val kept = flagged.filter(col(matchedCol) || insC)
+    val opCol = when(col(matchedCol) && delC, "D").otherwise("U")
     // all rows of one SQL MERGE share one LSN above the committed watermark:
     // base rows enter the race at lsn = -1, so the batch wins per key
     // (multiple source rows per key is undefined under SQL MERGE anyway)

@@ -160,6 +160,74 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 3)
   }
 
+  test("SQL time travel: TIMESTAMP AS OF resolves commit wall-clocks like VERSION AS OF") {
+    val cat = freshCatalog("ttts")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','1')")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t"
+    val ts1 = LakeTable.load(spark, root, "t").snapshot.committedAt.get
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('b','2')")
+    // session tz is UTC; format ts1 (millis) as a UTC timestamp literal
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val lit1 = fmt.format(new java.util.Date(ts1))
+    assert(spark.sql(s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '$lit1'").count() == 1,
+      "the as-of read must see exactly the first insert's snapshot")
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 1").count() == 1)
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 2)
+    // a timestamp that predates the table fails loudly, never reads-empty
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '1990-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
+  test("non-cascade DROP NAMESPACE refuses when NESTED namespaces hold tables") {
+    val cat = freshCatalog("nsdrop")
+    spark.sql(s"CREATE NAMESPACE $cat.db.inner")
+    spark.sql(s"""CREATE TABLE $cat.db.inner.t (k STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.inner.t VALUES ('a')")
+    // direct children of db are only namespaces — the pre-fix emptiness
+    // check (listTables) saw nothing and deleted the nested table
+    val e = intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.db") }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    assert(spark.sql(s"SELECT * FROM $cat.db.inner.t").count() == 1,
+      "refused drop must leave the nested table intact")
+    spark.sql(s"DROP NAMESPACE $cat.db CASCADE")
+    assert(!new java.io.File(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db").exists())
+  }
+
+  test("MERGE matched-ness probe is bucket-pruned; a source _matched column cannot collide") {
+    val cat = freshCatalog("mprobe")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='8')""")
+    val vals = (0 until 64).map(i => s"('k$i','v$i')").mkString(", ")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES $vals")
+    graft.sql.GraftMergeCommand.lastProbe.set(None)
+    // conditional legs force the probe; the source's own _matched column is
+    // ALSO the delete discriminator — binds to the source, never the flag
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'k3' k, 'dead' v, true _matched
+                 UNION ALL SELECT 'k5', 'new', false) s
+          ON t.k = s.k
+          WHEN MATCHED AND s._matched THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED AND s._matched = false THEN INSERT *""")
+    val ks = spark.sql(s"SELECT k, v FROM $cat.db.t WHERE k IN ('k3','k5')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!ks.contains("k3"), "matched row with _matched=true must be deleted")
+    assert(ks.get("k5").contains("new"), "matched row with _matched=false must update")
+    val (probed, total) = graft.sql.GraftMergeCommand.lastProbe.get()
+      .getOrElse(fail("conditional MERGE must run the matched-ness probe"))
+    assert(probed < total && probed <= 2,
+      s"2-key source must probe at most 2 buckets' files, read $probed of $total")
+  }
+
   test("SQL ALTER TABLE: additive ADD COLUMNS + properties; destructive changes refused") {
     val cat = freshCatalog("alter")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)

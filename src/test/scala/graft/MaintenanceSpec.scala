@@ -207,6 +207,65 @@ class MaintenanceSpec extends SparkSuite {
       s"${t2.manifestReads.get()} manifest reads")
   }
 
+  test("formatVersion gate: snapshots above the supported format are refused loudly") {
+    import spark.implicits._
+    val root = tmpDir("fmtgate")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 2)
+    // simulate a FUTURE writer: bump the current manifest's formatVersion
+    val v = table.currentVersionOpt.get
+    val p = java.nio.file.Paths.get(root, "meta", f"v$v%016d.json")
+    java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+      .replace("\"formatVersion\":1", "\"formatVersion\":99"))
+    val e = intercept[IllegalArgumentException] { LakeTable.load(spark, root, "t").snapshot }
+    assert(e.getMessage.contains("formatVersion"), e.getMessage)
+    // chunked tables persist formatVersion 2 (manifests are a format-2
+    // feature) and read back fine; inline tables stay format 1
+    val c = LakeTable.createIfNotExists(spark, tmpDir("fmt2"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 2,
+      properties = Map("graft.manifest.chunk" -> "always"))
+    assert(c.snapshot.formatVersion == 1, "empty create carries no manifests yet")
+    c.append(Seq(("r", "p", "c", "l", "x")).toDF("repo", "path", "commit", "lang", "content"))
+    assert(c.snapshot.formatVersion == 2 && c.snapshot.manifests.nonEmpty)
+    assert(c.read().count() == 1)
+  }
+
+  test("committedAt stamps every commit; versionAt resolves timestamp time travel") {
+    import spark.implicits._
+    def row(p: String) = Seq(("r", p, "c", "l", "x")).toDF("repo", "path", "commit", "lang", "content")
+    val table = LakeTable.createIfNotExists(spark, tmpDir("cts"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 2)
+    val t0 = table.snapshot.committedAt.getOrElse(fail("create must be stamped"))
+    table.append(row("a"))
+    val v1 = table.snapshot.version
+    val ts1 = table.snapshot.committedAt.get
+    assert(ts1 >= t0)
+    Thread.sleep(20)
+    table.append(row("b"))
+    val v2 = table.snapshot.version
+    assert(table.versionAt(ts1) == v1, "largest version committed at or before ts1")
+    assert(table.versionAt(System.currentTimeMillis()) == v2)
+    val e = intercept[IllegalArgumentException] { table.versionAt(t0 - 3600000L) }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
+  test("per-source fence scope: engines sharing one audit table never fence each other out") {
+    val shared = LakeTable.createIfNotExists(spark, tmpDir("sharedaudit"), "dq",
+      quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 2)
+    def rows(tbl: String) = quality.DataQualityChecks.auditRows(spark,
+      Seq(quality.CheckFailure("is_in_list", "lang", "warn", 3L)), tbl, jobId = 1, runId = 1)
+    // engine A commits its epoch-5 audit rows first; B's LATER append for
+    // epoch 3 must not be dropped by A's higher epoch (the pre-fix failure)
+    assert(shared.append(rows("tableA"), epochId = 5L, fenceScope = Some("tableA")).committed)
+    assert(shared.append(rows("tableB"), epochId = 3L, fenceScope = Some("tableB")).committed)
+    // replaying an already-committed epoch of the SAME scope stays fenced
+    assert(!shared.append(rows("tableA"), epochId = 5L, fenceScope = Some("tableA")).committed)
+    assert(!shared.append(rows("tableB"), epochId = 2L, fenceScope = Some("tableB")).committed)
+    // scoped appends leave the global epoch fence untouched
+    assert(shared.snapshot.epochId == -1L)
+    assert(shared.read().count() == 2)
+  }
+
   test("vacuum removes unreferenced files and old manifests; current read unaffected") {
     val (table, _) = build(3)
     table.compact()
