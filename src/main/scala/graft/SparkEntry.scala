@@ -80,6 +80,8 @@ object SparkEntry {
     "q37_sql_over_lake" -> (cdcq.sqlOverLake _),
     "q39_sql_merge" -> (cdcq.sqlMerge _),
     "q39b_sql_timetravel" -> (cdcq.sqlTimeTravel _),
+    "q39c_sql_timetravel_ts" -> (cdcq.sqlTimeTravelTs _),
+    "q39d_sql_rowlevel" -> (cdcq.sqlRowLevel _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -476,6 +478,22 @@ object SparkEntry {
            WHERE event_type <> 'error')
          SELECT * FROM (SELECT 'v_final' AS label, n FROM fin
          UNION ALL SELECT 'v_mid' AS label, n FROM mid) ORDER BY label""",
+    "q39c_sql_timetravel_ts" ->
+      """WITH h AS (SELECT (max(event_id)+2)//2 AS half FROM events),
+         mid AS (SELECT count(*) AS n FROM (
+           SELECT user_id, event_type FROM events WHERE event_id < (SELECT half FROM h)
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error')
+         SELECT * FROM (SELECT 'ts_mid' AS label, n FROM mid
+         UNION ALL SELECT 'v_mid' AS label, n FROM mid) ORDER BY label""",
+    "q39d_sql_rowlevel" ->
+      """WITH c AS (SELECT user_id, event_type, value FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         u AS (SELECT user_id,
+                      CASE WHEN value < 1.0 THEN 'flagged' ELSE event_type END AS event_type,
+                      value FROM c)
+         SELECT user_id, event_type, value FROM u WHERE event_type <> 'error'
+         ORDER BY user_id""",
     "q31_cdc_schema_evolution" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

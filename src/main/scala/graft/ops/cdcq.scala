@@ -323,12 +323,59 @@ object cdcq {
           ORDER BY repo, path""")
   }
 
+  /** SQL `UPDATE` + `DELETE FROM` through Catalyst (the GraftMergeRewrite
+    * row-level lowerings): latest-per-user state is INSERTed into a catalog
+    * table, low-value rows are UPDATEd to 'flagged', error rows DELETEd —
+    * every statement runs the engine's tombstone merge kernel. The oracle
+    * re-derives the same flag-then-delete pipeline relationally. */
+  def sqlRowLevel(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"grl${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-rowlevel").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
+          TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    val latest = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"), col("e.value").as("value"))
+    latest.writeTo(s"$cat.db.users").append()
+    spark.sql(s"UPDATE $cat.db.users SET event_type = 'flagged' WHERE value < 1.0")
+    spark.sql(s"DELETE FROM $cat.db.users WHERE event_type = 'error'")
+    spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
+  }
+
   /** SQL time travel over the merged table: `VERSION AS OF 1` = the state
     * after the first MERGE (v0 is the empty create), current = after both. */
   def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val cat = sqlMergeTable(spark, dir)
     spark.sql(
       s"""SELECT 'v_final' AS label, count(*) AS n FROM $cat.db.repo_files
+          UNION ALL
+          SELECT 'v_mid' AS label, count(*) AS n FROM $cat.db.repo_files VERSION AS OF 1
+          ORDER BY label""")
+  }
+
+  /** SQL `TIMESTAMP AS OF`: resolve the post-first-MERGE snapshot by its
+    * commit wall-clock and read it alongside the same snapshot pinned by
+    * `VERSION AS OF 1` — the two spellings must agree with the relational
+    * mid-state the oracle derives. */
+  def sqlTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlMergeTable(spark, dir)
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val ts = LakeTable.load(spark, s"$wh/db/repo_files", "repo_files")
+      .snapshotAt(1L).committedAt.getOrElse(sys.error("commits must be stamped"))
+    // session tz is UTC (Verify/Bench/test sessions): render millis as a UTC literal
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    spark.sql(
+      s"""SELECT 'ts_mid' AS label, count(*) AS n
+          FROM $cat.db.repo_files TIMESTAMP AS OF '${fmt.format(new java.util.Date(ts))}'
           UNION ALL
           SELECT 'v_mid' AS label, count(*) AS n FROM $cat.db.repo_files VERSION AS OF 1
           ORDER BY label""")

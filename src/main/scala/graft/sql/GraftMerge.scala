@@ -61,9 +61,8 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _)
         if source.resolved && notMatchedBySource.isEmpty =>
-      EliminateSubqueryAliases(target) match {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-          val gt = r.table.asInstanceOf[GraftTable]
+      graftTarget(target) match {
+        case Some(gt) =>
           val keys = gt.table.snapshot.keyColumns
           (keyEquality(cond, keys), classify(matched), classifyInsert(notMatched)) match {
             case (true, Some(deleteCond), Some(insertCond))
@@ -72,9 +71,42 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
               GraftMergeCommand(gt, source, deleteCond, insertCond)
             case _ => m // unsupported shape: let Spark's path report it
           }
-        case _ => m
+        case None => m
+      }
+
+    // SQL DELETE FROM / UPDATE: row-level ops other than MERGE, lowered onto
+    // the same tombstone merge kernel (LakeTable.merge). Supported shape =
+    // a predicate over the target's own columns, no subqueries; UPDATE
+    // additionally requires top-level column assignments that leave the
+    // primary key untouched (a keyed merge can't express a PK rewrite).
+    // Anything else falls through to Spark's UNSUPPORTED_FEATURE error.
+    case d @ DeleteFromTable(target, cond) if noSubquery(cond) =>
+      graftTarget(target) match {
+        case Some(gt) => GraftDeleteCommand(gt, cond)
+        case None => d
+      }
+    case u @ UpdateTable(target, assignments, cond) if cond.forall(noSubquery) =>
+      graftTarget(target) match {
+        case Some(gt) =>
+          val keys = gt.table.snapshot.keyColumns.map(_.toLowerCase).toSet
+          val named = assignments.map(a => nameOf(a.key).map(_ -> a.value))
+          if (named.exists(_.isEmpty) ||
+              named.flatten.exists { case (k, _) => keys(k) } ||
+              assignments.exists(a => !noSubquery(a.value))) u // fall through
+          else GraftUpdateCommand(gt, named.flatten, cond)
+        case None => u
       }
   }
+
+  private def graftTarget(target: LogicalPlan): Option[GraftTable] =
+    EliminateSubqueryAliases(target) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        Some(r.table.asInstanceOf[GraftTable])
+      case _ => None
+    }
+
+  private def noSubquery(e: Expression): Boolean =
+    !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
 
   /** The leg conditions may reference SOURCE columns only: every resolved
     * attribute must come from the source's output, and every unresolved one
@@ -204,10 +236,7 @@ case class GraftMergeCommand(
     val src = Bridge.ofRows(session, source)
     // leg conditions are source-only by the rule's contract; rebind them
     // against the source DataFrame by name (qualifiers stripped)
-    def byName(c: Expression): org.apache.spark.sql.Column = Bridge.column(c.transformUp {
-      case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
-      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-    })
+    def byName(c: Expression): org.apache.spark.sql.Column = GraftRowLevel.byName(c)
     val keys = snap.keyColumns
     // ANSI matched-ness: the DELETE leg fires only for keys PRESENT in the
     // target, the insert condition only gates ABSENT ones. One key- AND
@@ -255,6 +284,67 @@ case class GraftMergeCommand(
     val payload = snap.schema.fieldNames.toSeq
     val batch = kept.select(
       (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payload.map(col)): _*)
+    table.merge(batch, epochId = -1L)
+    Nil
+  }
+}
+
+private[sql] object GraftRowLevel {
+  /** Rebind an expression against a FRESH DataFrame of the target by NAME
+    * (qualifiers stripped): the rewrite rules match before full resolution,
+    * so attributes may be unresolved or bound to the V2 relation the lowered
+    * command no longer uses. A name that doesn't exist on the target then
+    * fails resolution with Spark's standard unresolved-column error. */
+  def byName(e: Expression): org.apache.spark.sql.Column = Bridge.column(e.transformUp {
+    case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  })
+}
+
+/** SQL `DELETE FROM` lowered onto the tombstone merge kernel: target rows
+  * matching the predicate re-emit as op='D' change events at one ad-hoc LSN
+  * above the committed high-watermark, applied through [[graft.cdc.lake]]'s
+  * `LakeTable.merge` — the same fenced CoW kernel as every other write.
+  * Scale shape: the predicate pushes into the target's parquet scan, and the
+  * merge's sparse path rewrites only the buckets holding matching keys. */
+case class GraftDeleteCommand(
+    @transient graftTable: GraftTable,
+    condition: Expression) extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = graftTable.table
+    val snap = table.snapshot
+    val lsn = math.max(snap.lsnHigh, 0L) + 1L
+    val payload = snap.schema.fieldNames.toSeq
+    val batch = table.readBuckets(snap, None)
+      .filter(GraftRowLevel.byName(condition))
+      .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++ payload.map(col)): _*)
+    table.merge(batch, epochId = -1L)
+    Nil
+  }
+}
+
+/** SQL `UPDATE` lowered onto the merge kernel: matching target rows re-emit
+  * as op='U' events with the SET assignments applied (primary-key columns
+  * are never assignable — the rewrite rule falls through to Spark's error
+  * for those). Same scan/rewrite scale shape as [[GraftDeleteCommand]]. */
+case class GraftUpdateCommand(
+    @transient graftTable: GraftTable,
+    assignments: Seq[(String, Expression)],
+    condition: Option[Expression]) extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = graftTable.table
+    val snap = table.snapshot
+    val lsn = math.max(snap.lsnHigh, 0L) + 1L
+    val assigned = assignments.map { case (k, v) => k -> GraftRowLevel.byName(v) }.toMap
+    val rows0 = table.readBuckets(snap, None)
+    val rows = condition.map(c => rows0.filter(GraftRowLevel.byName(c))).getOrElse(rows0)
+    val batch = rows.select((Seq(lit(lsn).as("lsn"), lit("U").as("op")) ++
+      snap.schema.fields.toSeq.map { f =>
+        assigned.get(f.name.toLowerCase)
+          .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }): _*)
     table.merge(batch, epochId = -1L)
     Nil
   }

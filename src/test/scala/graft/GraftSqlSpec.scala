@@ -228,6 +228,35 @@ class GraftSqlSpec extends SparkSuite {
       s"2-key source must probe at most 2 buckets' files, read $probed of $total")
   }
 
+  test("SQL DELETE FROM / UPDATE lower onto the tombstone merge kernel") {
+    val cat = freshCatalog("rowlevel")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2),('c','x',3),('d','y',4)")
+    // conditional UPDATE with an expression over target columns
+    spark.sql(s"UPDATE $cat.db.t SET n = n * 10 WHERE kind = 'x'")
+    val afterUpdate = spark.sql(s"SELECT k, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(afterUpdate == Seq("a" -> 10L, "b" -> 2L, "c" -> 30L, "d" -> 4L))
+    // DELETE by predicate
+    spark.sql(s"DELETE FROM $cat.db.t WHERE n >= 30")
+    assert(spark.sql(s"SELECT k FROM $cat.db.t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "d"))
+    // unconditional UPDATE touches every row
+    spark.sql(s"UPDATE $cat.db.t SET kind = concat(kind, '!')")
+    assert(spark.sql(s"SELECT DISTINCT kind FROM $cat.db.t ORDER BY kind").collect()
+      .map(_.getString(0)).toSeq == Seq("x!", "y!"))
+    // row-level ops are fenced-kernel merges: the epoch fence is untouched
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t"
+    assert(LakeTable.load(spark, root, "t").snapshot.epochId == -1L)
+    // unsupported shapes fall through to Spark's own error: PK assignment
+    // (a keyed merge cannot express a PK rewrite) and subquery predicates
+    intercept[Exception] { spark.sql(s"UPDATE $cat.db.t SET k = 'z' WHERE kind = 'x!'") }
+    intercept[Exception] { spark.sql(s"DELETE FROM $cat.db.t WHERE k IN (SELECT 'a')") }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 3,
+      "refused shapes must not mutate the table")
+  }
+
   test("SQL ALTER TABLE: additive ADD COLUMNS + properties; destructive changes refused") {
     val cat = freshCatalog("alter")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
