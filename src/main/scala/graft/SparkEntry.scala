@@ -65,9 +65,13 @@ object SparkEntry {
     // OpsSpec's recall-vs-brute-force test)
     "q29b_ann_lsh" -> ((s, d) => similarity.annLsh(s, d)),
     "q29c_ann_ivf" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 0)),
+    // q29d value-checks the Lloyd refinement itself: one k-means step is
+    // deterministic elementwise-mean arithmetic, re-derived in the oracle
+    "q29d_ann_ivf_lloyd" -> ((s, d) => similarity.annIvf(s, d, lloydIters = 1)),
     "q40_near_dup_lsh" -> ((s, d) => similarity.nearDupPairsLsh(s, d)),
     // multimodal plumbing
     "q33_media_meta" -> (multimodal.mediaMeta _),
+    "q33b_media_decode" -> (multimodal.mediaDecode _),
     // the CDC engine end-to-end
     "q32_dq_audit" -> (cdcq.dqAudit _),
     "q38_dq_quarantine" -> (cdcq.dqQuarantine _),
@@ -82,6 +86,7 @@ object SparkEntry {
     "q39b_sql_timetravel" -> (cdcq.sqlTimeTravel _),
     "q39c_sql_timetravel_ts" -> (cdcq.sqlTimeTravelTs _),
     "q39d_sql_rowlevel" -> (cdcq.sqlRowLevel _),
+    "q41_stream_replay" -> (cdcq.streamReplay _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -187,6 +192,41 @@ object SparkEntry {
   private lazy val annIvfOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
      c AS (SELECT CAST(vec_id AS INTEGER) AS cell, emb AS centroid FROM e WHERE vec_id < 8),
+     assign AS (SELECT vec_id, emb, cell FROM (
+       SELECT e.vec_id, e.emb, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC, c.cell) AS rn
+       FROM e CROSS JOIN c) WHERE rn = 1),
+     q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+     probe AS (SELECT q_id, q_emb, cell FROM (
+       SELECT q.q_id, q.q_emb, c.cell,
+         row_number() OVER (PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(q.q_emb, c.centroid) DESC, c.cell) AS rn
+       FROM q CROSS JOIN c) WHERE rn <= 2),
+     s AS (SELECT p.q_id, a.vec_id AS c_id, round(list_cosine_similarity(p.q_emb, a.emb),4) AS cos
+           FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id)
+     SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank FROM
+      (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+     WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** q29d: q29c's IVF with ONE Lloyd iteration embedded relationally —
+    * assign to the seed centroids, per-(cell, dim) mean via 1-based list
+    * indexing over range(1,65), empty cells keep their seed centroid
+    * (coalesce), then the same assign/probe/rescore pipeline against the
+    * refined centroids. */
+  private lazy val annIvfLloydOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+     c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, emb AS centroid FROM e WHERE vec_id < 8),
+     a0 AS (SELECT vec_id, emb, cell FROM (
+       SELECT e.vec_id, e.emb, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC, c.cell) AS rn
+       FROM e CROSS JOIN c0 c) WHERE rn = 1),
+     m AS (SELECT cell, i, avg(emb[CAST(i AS INTEGER)]) AS mv
+           FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cell, i),
+     c1 AS (SELECT cell, list(mv ORDER BY i) AS centroid FROM m GROUP BY cell),
+     c AS (SELECT c0.cell, coalesce(c1.centroid, c0.centroid) AS centroid
+           FROM c0 LEFT JOIN c1 ON c0.cell = c1.cell),
      assign AS (SELECT vec_id, emb, cell FROM (
        SELECT e.vec_id, e.emb, c.cell,
          row_number() OVER (PARTITION BY e.vec_id
@@ -370,6 +410,7 @@ object SparkEntry {
     "q27_simhash" -> simhashOracleSql,
     "q29b_ann_lsh" -> annLshOracleSql,
     "q29c_ann_ivf" -> annIvfOracleSql,
+    "q29d_ann_ivf_lloyd" -> annIvfLloydOracleSql,
     "q40_near_dup_lsh" -> nearDupLshOracleSql,
     "q28_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -390,6 +431,13 @@ object SparkEntry {
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          octet_length(encode(text)) AS n_bytes, sha256(text) AS media_sha
          FROM documents ORDER BY doc_id""",
+    // q33b: the synthetic BMPs are solid-gray images whose geometry/shade
+    // are doc_id arithmetic — the ImageIO decode must recover them exactly
+    "q33b_media_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INTEGER) AS width,
+         CAST(8 + (doc_id // 3) % 16 AS INTEGER) AS height,
+         CAST(doc_id % 256 AS BIGINT) AS luma_level
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
     "q32_dq_audit" ->
       """WITH f AS (SELECT event_id // ((SELECT (max(event_id)+4)//4 FROM events) ) AS job_id,
                     event_type, value FROM events WHERE event_type <> 'error'),
@@ -486,6 +534,15 @@ object SparkEntry {
            WHERE event_type <> 'error')
          SELECT * FROM (SELECT 'ts_mid' AS label, n FROM mid
          UNION ALL SELECT 'v_mid' AS label, n FROM mid) ORDER BY label""",
+    // q41 streams the SAME change mapping as q30 (redeliveries are
+    // suppressed by the stateful dedup), so the relational oracle is q30's
+    "q41_stream_replay" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
     "q39d_sql_rowlevel" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),

@@ -202,6 +202,17 @@ object ingest {
         }
         events.select(cols: _*)
       }
+      // quarantine-attached gated epochs persist the conformed batch: the
+      // merge write is the scan that POPULATES the cache, so a
+      // failure-bearing epoch's quarantine-row derivation reads the cached
+      // batch instead of re-scanning the source — a dirty epoch costs
+      // merge + (cached annotated pass + two small appends), never two full
+      // source scans. The cache is epoch-batch-sized (bounded by the tail's
+      // trigger size at 100 TB: maxFilesPerTrigger); MEMORY_AND_DISK spills
+      // rather than evicting, and clean epochs pay only the in-memory copy.
+      val cacheBatch = gate.exists(_.checks.nonEmpty) && quarantineTable.isDefined
+      if (cacheBatch) { withMeta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); () }
+      try {
 
       // 2. quality gate (errors abort the epoch pre-commit; the atomic commit
       //    means an aborted epoch leaves no partial state). Two shapes:
@@ -293,6 +304,7 @@ object ingest {
         ledger.foreach(_.advance(LedgerState(epochId, res.snapshot.lsnHigh)))
       }
       EpochResult(res.committed, res.snapshot.version, m, res.lineage)
+      } finally if (cacheBatch) { withMeta.unpersist(blocking = false); () }
     }
   }
 }

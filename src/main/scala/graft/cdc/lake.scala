@@ -1046,8 +1046,23 @@ object lake {
       * and delete every data file no kept snapshot references, plus orphan
       * files from crashed writes. Returns (#manifests removed, #files removed). */
     def vacuum(keepSnapshots: Int = 1): (Int, Int) = synchronized {
+      vacuumKeeping(history().takeRight(math.max(1, keepSnapshots)).toSet)
+    }
+
+    /** Age-based retention: drop every snapshot whose commit wall-clock is
+      * older than `olderThan` (the current snapshot always survives — a
+      * quiet table must stay readable), then sweep orphans. Pre-committedAt
+      * snapshots count as arbitrarily old. */
+    def vacuum(olderThan: java.time.Duration): (Int, Int) = synchronized {
+      val cutoff = System.currentTimeMillis() - olderThan.toMillis
       val versions = history()
-      val keep = versions.takeRight(math.max(1, keepSnapshots)).toSet
+      val keep = versions.filter(v => snapshotAt(v).committedAt.getOrElse(0L) >= cutoff).toSet ++
+        versions.lastOption
+      vacuumKeeping(keep)
+    }
+
+    private def vacuumKeeping(keep: Set[Long]): (Int, Int) = synchronized {
+      val versions = history()
       val keptSnaps = keep.toSeq.map(snapshotAt)
       val referenced: Set[String] = keptSnaps.flatMap(s => filesOf(s).map(_.path)).toSet
       var manifestsRemoved = 0
@@ -1064,12 +1079,32 @@ object lake {
           }
         } finally ms.close()
       }
-      var filesRemoved = 0
-      if (Files.isDirectory(dataDir)) {
-        val all = listParquet(dataDir)
-        all.foreach { p =>
+      val filesRemoved = if (Files.isDirectory(dataDir)) sweepOrphans(referenced) else 0
+      (manifestsRemoved, filesRemoved)
+    }
+
+    /** Orphan-file sweep under `data/`. Small tables walk driver-side (a
+      * Spark job costs more than the walk); above `auto`'s threshold — the
+      * 100 TB envelope, where the tree holds millions of files — the listing
+      * AND deletion run as ONE Spark job with a task per snapshot data dir:
+      * executors list + delete against shared storage and report (removed,
+      * kept) counts, the driver never materializes the file tree. Dirs left
+      * with zero files are pruned driver-side from the per-task counts.
+      * Override with -Dgraft.vacuum.distributed=always|never. */
+    private def sweepOrphans(referenced: Set[String]): Int = {
+      val snapDirs: Seq[String] = {
+        val s = Files.list(dataDir)
+        try s.toArray.map(_.asInstanceOf[Path]).filter(Files.isDirectory(_)).map(_.toString).toSeq
+        finally s.close()
+      }
+      val mode = System.getProperty("graft.vacuum.distributed", "auto")
+      val useSpark = snapDirs.nonEmpty &&
+        (mode == "always" || (mode == "auto" && referenced.size >= 65536))
+      if (!useSpark) {
+        var removed = 0
+        listParquet(dataDir).foreach { p =>
           val rel = Paths.get(root).relativize(p).toString
-          if (!referenced(rel)) { Files.deleteIfExists(p); filesRemoved += 1 }
+          if (!referenced(rel)) { Files.deleteIfExists(p); removed += 1 }
         }
         // prune now-empty snapshot data dirs
         val ds = Files.list(dataDir)
@@ -1077,16 +1112,39 @@ object lake {
           if (Files.isDirectory(d)) {
             val probe = Files.walk(d)
             val empty = try !probe.anyMatch(f => Files.isRegularFile(f)) finally probe.close()
-            if (empty) {
-              val w = Files.walk(d)
-              try w.sorted(java.util.Comparator.reverseOrder[Path]())
-                .forEach(x => Files.deleteIfExists(x))
-              finally w.close()
-            }
+            if (empty) deleteTree(d)
           }
         } finally ds.close()
+        removed
+      } else {
+        val rootStr = root
+        val refB = spark.sparkContext.broadcast(referenced)
+        val perDir = spark.sparkContext
+          .parallelize(snapDirs, math.max(1, math.min(snapDirs.size, 64)))
+          .map { dirStr =>
+            val dir = Paths.get(dirStr)
+            var removed = 0; var kept = 0
+            val s = Files.walk(dir)
+            try s.forEach { p =>
+              if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) {
+                val rel = Paths.get(rootStr).relativize(p).toString
+                if (refB.value.contains(rel)) kept += 1
+                else { Files.deleteIfExists(p); removed += 1 }
+              }
+            } finally s.close()
+            (dirStr, removed, kept)
+          }.collect()
+        refB.destroy()
+        perDir.filter(_._3 == 0).foreach { case (d, _, _) => deleteTree(Paths.get(d)) }
+        perDir.map(_._2).sum
       }
-      (manifestsRemoved, filesRemoved)
+    }
+
+    private def deleteTree(d: Path): Unit = {
+      val w = Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(x => Files.deleteIfExists(x))
+      finally w.close()
     }
   }
 }

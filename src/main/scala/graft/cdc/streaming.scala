@@ -23,6 +23,49 @@ import graft.cdc.ingest.ReplayEngine
   */
 object streaming {
 
+  /** Durable LSN watermark shared between the DRIVER (which advances it as
+    * epochs commit) and the state-store EXECUTORS (which read it to evict
+    * dedup state) through shared storage. A plain closure over driver memory
+    * would silently never propagate to executor JVMs on a real cluster —
+    * each executor would see the initial value forever and TTL eviction
+    * would degrade back to unbounded state — so the watermark lives in a
+    * file on storage all JVMs can reach (the same class of location as the
+    * checkpoint dir). Writes are atomic-rename; reads are cached per JVM for
+    * `refreshMs` so the state function can consult it per group without
+    * hammering the store. A stale read only DELAYS eviction (the watermark
+    * is monotone), never changes emitted results. */
+  object LsnWatermark {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val refreshMs = 200L
+
+    def write(path: String, v: Long): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(s".wm-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, v.toString)
+      java.nio.file.Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      cache.put(path, (v, System.currentTimeMillis())); ()
+    }
+
+    def read(path: String): Long = {
+      val now = System.currentTimeMillis()
+      val cached = cache.get(path)
+      if (cached != null && now - cached._2 < refreshMs) cached._1
+      else {
+        val v =
+          try java.nio.file.Files.readString(java.nio.file.Paths.get(path)).trim.toLong
+          catch { case _: Exception => -1L } // absent yet = no watermark
+        cache.put(path, (v, now))
+        v
+      }
+    }
+
+    /** Executor-safe `evictBelowLsn` supplier: the closure captures only the
+      * path string; every JVM resolves the current value from storage. */
+    def supplier(path: String): () => Long = () => read(path)
+  }
+
   /** Tail a directory of change-event parquet files as a stream. */
   def changeStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -73,7 +116,14 @@ object streaming {
     *    changes the emitted stream, only the state footprint.
     *
     * With `evictBelowLsn = None` (default) the operator keeps the unbounded
-    * behavior: no timeouts, a key's watermark never expires. */
+    * behavior: no timeouts, a key's watermark never expires.
+    *
+    * CLUSTER CONTRACT: the supplier runs INSIDE the state function, i.e. on
+    * executors — it must read executor-visible state. Use
+    * [[LsnWatermark.supplier]] over a shared-storage path (the driver
+    * advances it per committed epoch, e.g. via [[replayStream]]'s
+    * `watermarkFile`); a closure over driver memory only works in
+    * single-JVM local mode. */
   def statefulDedup(events: DataFrame, evictBelowLsn: Option[() => Long] = None,
       stateTtl: String = "30 seconds"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -114,12 +164,25 @@ object streaming {
   /** Run the CDC apply loop over a streaming source; one micro-batch = one
     * epoch. `Trigger.AvailableNow` drains everything currently in the source
     * then stops (deterministic for tests/bench); pass ProcessingTime for a
-    * long-lived tail. */
+    * long-lived tail.
+    *
+    * `watermarkFile`: after each committed epoch, the table's durable
+    * `lsnHigh` is published to this shared-storage path — the feed for an
+    * upstream [[statefulDedup]]'s TTL eviction ([[LsnWatermark]]).
+    *
+    * TRIGGER × TTL CAVEAT (empirical, Spark 4.1): `Trigger.AvailableNow`
+    * never terminates while a ProcessingTimeTimeout is armed — a due
+    * deadline re-arms on every no-data batch, so the query spins instead of
+    * draining. Use AvailableNow only WITHOUT TTL'd dedup upstream; a TTL'd
+    * pipeline should run `Trigger.ProcessingTime` and be stopped by the
+    * caller once drained (see cdcq.streamReplay for the pattern). */
   def replayStream(events: DataFrame, engine: ReplayEngine, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      watermarkFile: Option[String] = None): StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         engine.applyEpoch(batch, batchId)
+        watermarkFile.foreach(f => LsnWatermark.write(f, engine.table.snapshot.lsnHigh))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -83,6 +83,86 @@ object cdcq {
       .orderBy(col("repo"), col("path"))
   }
 
+  /** Streaming replay end-to-end (SURVEY §2.8): the change stream laid out as
+    * an epoch-ordered file tail — with deterministic stale REDELIVERIES of
+    * earlier-epoch events seeded into later files — drained by ONE
+    * `Trigger.AvailableNow` query: file source -> cross-epoch stateful dedup
+    * (TTL-evicted via the lake's committed lsnHigh published through a
+    * shared-storage watermark file) -> foreachBatch epochs through the SAME
+    * ReplayEngine as q30.
+    *
+    * The redeliveries make the stateful dedup load-bearing for correctness,
+    * not decorative: a stale LSN replayed into a later epoch would regress
+    * its key in the CoW merge (base rows re-enter the max-LSN race at
+    * lsn = -1), so the final state matches q30's relational oracle ONLY if
+    * statefulDedup suppresses every below-watermark event. The TTL path is
+    * equally load-bearing: the drain loop REQUIRES the state store to reach
+    * zero rows (eviction under the published watermark) before stopping.
+    *
+    * Trigger choice: `Trigger.ProcessingTime` + poll + stop, NOT
+    * AvailableNow — Spark 4.1's AvailableNow never terminates while a
+    * ProcessingTimeTimeout is armed (a due deadline re-arms on every
+    * no-data batch), so a TTL'd dedup must run as a long-lived query that
+    * the caller stops once input is drained and state evicted — which is
+    * the production shape of a binlog tail anyway. */
+  def streamReplay(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-stream")
+    val srcDir = root.resolve("tail")
+    java.nio.file.Files.createDirectories(srcDir)
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      val fresh = changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per)
+      // every 7th event of the PREVIOUS epoch arrives again — the
+      // at-least-once tail the stateful dedup exists for
+      val redelivered =
+        if (e == 0) fresh.limit(0)
+        else changes.filter(col("lsn") >= (e - 1) * per && col("lsn") < e * per &&
+          pmod(col("lsn"), lit(7)) === 0)
+      val stage = root.resolve(s"stage$e")
+      fresh.unionByName(redelivered).coalesce(1).write.parquet(stage.toString)
+      val s = java.nio.file.Files.list(stage)
+      val part =
+        try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get
+        finally s.close()
+      val tgt = srcDir.resolve(f"ep$e%03d.parquet")
+      java.nio.file.Files.move(part, tgt)
+      // pin mtimes so the file source schedules the tail in binlog order
+      // (statefulDedup makes the result order-insensitive; the pinned order
+      // keeps the exercised path the intended one)
+      java.nio.file.Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
+    }
+    val table = LakeTable.createIfNotExists(spark, root.resolve("lake").toString, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
+    val wmFile = root.resolve("wm").toString
+    val stream = streaming.changeStream(spark, srcDir.toString, changes.schema,
+      maxFilesPerTrigger = Some(1))
+    val deduped = streaming.statefulDedup(stream,
+      evictBelowLsn = Some(streaming.LsnWatermark.supplier(wmFile)), stateTtl = "1 second")
+    val q = streaming.replayStream(deduped, engine, root.resolve("ck").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+      watermarkFile = Some(wmFile))
+    try {
+      def stateRows: Long = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+      val deadline = System.currentTimeMillis() + 240000
+      while ((table.snapshot.lsnHigh < maxLsn || stateRows != 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(table.snapshot.lsnHigh == maxLsn,
+        s"stream must drain every epoch (lsnHigh ${table.snapshot.lsnHigh} < $maxLsn)")
+      assert(stateRows == 0,
+        "TTL must evict all dedup state once the committed watermark covers it")
+    } finally q.stop()
+    changes.unpersist()
+    table.read()
+      .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("content"))
+      .orderBy(col("repo"), col("path"))
+  }
+
   /** Replay with a quality gate + persistent data_quality_checks audit table
     * (the reference's flagship DQ behavior, data_quality_evaluator.py:56-93):
     * two warn-level rules are seeded to fire (lang outside {click,view};

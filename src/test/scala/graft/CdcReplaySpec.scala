@@ -169,6 +169,70 @@ class CdcReplaySpec extends SparkSuite {
     assert(morTable.snapshot.files.isEmpty && morTable.read().count() == 0)
   }
 
+  test("quarantine-attached FAILING epoch: merge + cached annotated pass + 2 small appends (3 jobs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val cols = Seq(
+      ColumnDef("repo", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("path", StringType, nullable = false, isPrimaryKey = true),
+      ColumnDef("commit", StringType),
+      ColumnDef("lang", StringType, qualityRule =
+        Some(QualityRule(Criticality.Warn, allowedValues = Some(Seq("scala", "java"))))),
+      ColumnDef("content", StringType))
+    val gate = new quality.QualityGate(quality.Check.fromColumns(cols))
+    val table = LakeTable.createIfNotExists(spark, tmpDir("qbudget"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val audit = LakeTable.createIfNotExists(spark, tmpDir("qbudget-audit"), "dq",
+      quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 2)
+    val quarantineSchema = StructType(Seq(
+      StructField("lsn", LongType, nullable = false),
+      StructField("epoch", LongType, nullable = false),
+      StructField("repo", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("lang", StringType),
+      StructField("_warnings", StringType)))
+    val quarantine = LakeTable.createIfNotExists(spark, tmpDir("qbudget-q"), "qr",
+      quarantineSchema, Seq("lsn"), numBuckets = 2)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      gate = Some(gate), auditTable = Some(audit), quarantineTable = Some(quarantine))
+    val n = 256 // dense: gate + stats fused into the merge job
+    val batch = (0 until n).map { i =>
+      val lang = if (i % 16 == 0) "cobol" else "scala" // seeded warn failures
+      (i.toLong, "U", s"r${i % 7}", s"p/$i", s"c$i", lang, s"content-$i")
+    }.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+
+    // explicit job budget: 1 merge write (gate observed + cache-populating)
+    // + 1 audit append + 1 quarantine append reading the CACHED batch — the
+    // round-3 dirty path paid a second full source scan here
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = engine.applyEpoch(batch, 0, knownInputCount = Some(n.toLong))
+      assert(r.committed, "warn-only failures must still commit")
+      var last = -1; var stableFor = 0
+      while (stableFor < 5) {
+        val c = jobs.get()
+        if (c == last) stableFor += 1 else { stableFor = 0; last = c }
+        Thread.sleep(100)
+      }
+      assert(jobs.get() == 3,
+        s"failure-bearing quarantine epoch budget is 3 Spark jobs, saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+    assert(table.read().count() == n)
+    assert(quarantine.read().count() == n / 16, "every failing row lands in quarantine")
+    assert(audit.read().filter(col("criticality") === "warn").count() == 1)
+  }
+
   test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
     val cfg = gen.GenConfig(n = 20000, nKeys = 3000, numPartitions = 8)
     val table = replay(tmpDir("lake"), cfg, epochs = 5)

@@ -207,6 +207,56 @@ class MaintenanceSpec extends SparkSuite {
       s"${t2.manifestReads.get()} manifest reads")
   }
 
+  test("distributed vacuum: 32k-file tree sweeps orphans in a Spark job, keeps referenced files") {
+    val root = tmpDir("dvac")
+    val nFiles = 32768
+    val table = LakeTable.createIfNotExists(spark, root, "big",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
+    // synthesize the 100 TB envelope's data tree: 32k referenced (empty)
+    // files under one committed snapshot, 2k orphans from a "crashed" write
+    val dataSeed = java.nio.file.Paths.get(root, "data", "seed")
+    (0 until 8).foreach(b => java.nio.file.Files.createDirectories(dataSeed.resolve(s"_b=$b")))
+    val refs = (0 until nFiles).map { i =>
+      val f = DataFile(s"data/seed/_b=${i % 8}/part-$i.parquet", i % 8, 10L, 1L, 1, 0L, 9L, "base")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(root, f.path))
+      f
+    }
+    val cur = table.snapshot
+    assert(table.commit(cur.copy(version = cur.version + 1, files = refs)))
+    val orphanDir = java.nio.file.Paths.get(root, "data", "crashed", "_b=0")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val nOrphans = 2048
+    (0 until nOrphans).foreach(i =>
+      java.nio.file.Files.createFile(orphanDir.resolve(s"part-$i.parquet")))
+    System.setProperty("graft.vacuum.distributed", "always")
+    try {
+      val t0 = System.nanoTime()
+      val (_, removed) = table.vacuum(keepSnapshots = 1)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(removed == nOrphans, s"must remove exactly the orphans, removed $removed")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, refs.head.path)),
+        "referenced files survive the sweep")
+      assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "data", "crashed")),
+        "fully-orphaned data dirs are pruned")
+      // latency guard: the sweep is one job over per-dir tasks, not a
+      // driver-side walk of 34k paths followed by 2k serial deletes
+      assert(ms < 30000, s"distributed sweep took $ms ms")
+      info(f"distributed sweep over ${nFiles + nOrphans} files: $ms%.0f ms")
+    } finally System.clearProperty("graft.vacuum.distributed")
+  }
+
+  test("age-based vacuum retention drops old snapshots; current always survives") {
+    val (table, _) = build(2)
+    assert(table.history().size == 3) // v0 + 2 epochs
+    // everything is seconds old: a 1-day horizon removes nothing
+    val (m0, _) = table.vacuum(java.time.Duration.ofDays(1))
+    assert(m0 == 0 && table.history().size == 3)
+    // a zero horizon keeps only the current snapshot
+    val (m1, _) = table.vacuum(java.time.Duration.ZERO)
+    assert(m1 > 0 && table.history().size == 1)
+    assert(table.read().count() > 0, "the surviving current snapshot still reads")
+  }
+
   test("formatVersion gate: snapshots above the supported format are refused loudly") {
     import spark.implicits._
     val root = tmpDir("fmtgate")

@@ -114,6 +114,21 @@ class OpsSpec extends SparkSuite {
     assert(a.forall(f => f.n_bytes > 0 && f.width >= 64 && f.height >= 64))
   }
 
+  test("real ImageIO decode recovers synthetic BMP geometry and luma exactly") {
+    val feats = multimodal.extractFeatures(spark, multimodal.syntheticImages(spark, sf))
+      .collect().sortBy(_.doc_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width == 8 + (f.doc_id % 16).toInt, s"width of ${f.doc_id}")
+      assert(f.height == 8 + ((f.doc_id / 3) % 16).toInt, s"height of ${f.doc_id}")
+      val v = (f.doc_id % 256).toInt
+      assert(math.abs(f.mean_luma * 255.0 - v) < 0.01, s"luma of ${f.doc_id}: ${f.mean_luma}")
+    }
+    // an undecodable payload must fall back to the stub, not crash
+    val stub = multimodal.decodeStub("not an image".getBytes)
+    assert(multimodal.decodeImage("not an image".getBytes).isEmpty && stub._1 >= 64)
+  }
+
   test("plan shape: filter+projection push down to the parquet scan") {
     val plan = relational.silverConform(spark, sf)
       .queryExecution.executedPlan.toString

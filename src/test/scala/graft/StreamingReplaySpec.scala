@@ -93,6 +93,17 @@ class StreamingReplaySpec extends SparkSuite {
       s"stale a@4 must be suppressed by the state-store watermark; got $out")
   }
 
+  test("q41 path: AvailableNow replay with redeliveries + file-watermark TTL equals engine replay") {
+    // the full oracle-checked composition: file tail (with stale
+    // redeliveries) -> statefulDedup (TTL via shared-storage watermark) ->
+    // foreachBatch epochs; must converge to the batch engine's state AND
+    // terminate (eviction drains the timeout loop under AvailableNow)
+    val got = ops.cdcq.streamReplay(spark, "/root/testdata/sf0.001").collect().toSeq
+    val expected = ops.cdcq.replay(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(got.nonEmpty && got == expected,
+      s"streamed replay must equal the batch replay (${got.size} vs ${expected.size})")
+  }
+
   test("stateful dedup TTL: state below the lsn watermark evicts; late events stay correct") {
     import spark.implicits._
     val srcDir = tmpDir("ttl-src")
