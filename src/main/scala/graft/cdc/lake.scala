@@ -362,7 +362,12 @@ object lake {
       * partition count divide each other. The merge write then needs NO extra
       * repartition: one shuffle saved per epoch, ~NB output files. */
     def bucketExpr(snap: Snapshot): org.apache.spark.sql.Column =
-      pmod(hash(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
+      if (snap.keyColumns.isEmpty)
+        // keyless table (append/scan-only — e.g. CTAS without a primary_key
+        // property): no key to co-locate by, so buckets are a pure
+        // write-parallelism spread that preserves the incoming partitioning
+        pmod(spark_partition_id(), lit(snap.numBuckets)).cast(IntegerType)
+      else pmod(hash(snap.keyColumns.map(col): _*), lit(snap.numBuckets)).cast(IntegerType)
 
     /** Expose the current table state to Spark SQL as a temp view
       * (`spark.sql("SELECT ... FROM <viewName>")`). Re-call after commits to
@@ -487,6 +492,9 @@ object lake {
       * (Append/overwrite/read paths carry no metadata columns and accept any
       * names — e.g. the quarantine table legitimately stores an `lsn`.) */
     private def requireMergeableSchema(snap: Snapshot): Unit = {
+      require(snap.keyColumns.nonEmpty,
+        s"table '$name' cannot be a MERGE target: it has no key columns " +
+          "(created without a primary_key) — keyless tables are append/overwrite/read-only")
       val clash = snap.schema.fieldNames.map(_.toLowerCase).toSet
         .intersect(Set("lsn", "op"))
       require(clash.isEmpty,

@@ -63,7 +63,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     lake.LakeTable.exists(rootOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    if (!tableExists(ident)) {
+      // Iceberg-style metadata table: `SELECT * FROM cat.db.t.history` parses
+      // as Identifier(ns = [db, t], name = "history") — surface the commit
+      // log (DESCRIBE HISTORY analog) when `t` is a lake table
+      val ns = ident.namespace()
+      if (ident.name() == "history" && ns.nonEmpty) {
+        val base = Identifier.of(ns.init, ns.last)
+        if (tableExists(base))
+          return new GraftHistoryTable(
+            lake.LakeTable.load(spark, rootOf(base), base.name()))
+      }
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    }
     new GraftTable(lake.LakeTable.load(spark, rootOf(ident), ident.name()), None)
   }
 
@@ -212,6 +224,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally w.close()
     true
   }
+}
+
+/** Read-only `history` metadata table (DESCRIBE HISTORY / Iceberg
+  * `t.history` analog): one row per retained snapshot, from the JSON
+  * manifests. Metadata-only and O(retained snapshots) — built driver-side
+  * by design, like every other manifest read. */
+class GraftHistoryTable(lakeTable: lake.LakeTable) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("epoch_id", LongType, nullable = false),
+    StructField("lsn_high", LongType, nullable = false),
+    StructField("schema_version", IntegerType, nullable = false),
+    StructField("format_version", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_manifests", IntegerType, nullable = false)))
+
+  override def name(): String = s"${lakeTable.name}.history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = historySchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = historySchema
+            override def buildScan(): RDD[Row] = {
+              val rows = lakeTable.history().map { v =>
+                val s = lakeTable.snapshotAt(v)
+                Row(s.version,
+                  s.committedAt.map(new java.sql.Timestamp(_)).orNull,
+                  s.epochId, s.lsnHigh, s.schemaVersion, s.formatVersion,
+                  s.files.size + s.manifests.map(_.numFiles).sum,
+                  s.manifests.size)
+              }
+              ctx.sparkSession.sparkContext.parallelize(rows, 1)
+            }
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** One lake table surfaced to Catalyst. `pinnedVersion` = time travel.

@@ -257,6 +257,25 @@ class GraftSqlSpec extends SparkSuite {
       "refused shapes must not mutate the table")
   }
 
+  test("t.history metadata table surfaces the commit log; CTAS creates and fills a table") {
+    val cat = freshCatalog("hist")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','1')")
+    spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, '2' v) s ON t.k = s.k
+                  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    val hist = spark.sql(
+      s"SELECT version, epoch_id, lsn_high FROM $cat.db.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hist.map(_._1) == Seq(0L, 1L, 2L), s"one row per snapshot: $hist")
+    assert(hist.last._3 == 1L, s"the merge stamps lsn_high: $hist")
+    assert(spark.sql(s"SELECT committed_at FROM $cat.db.t.history").collect()
+      .forall(!_.isNullAt(0)), "every commit carries its wall-clock")
+    // CTAS through the catalog (create + insert, non-staging)
+    spark.sql(s"CREATE TABLE $cat.db.t2 AS SELECT k, v FROM $cat.db.t")
+    assert(spark.sql(s"SELECT v FROM $cat.db.t2").collect()(0).getString(0) == "2")
+  }
+
   test("SQL ALTER TABLE: additive ADD COLUMNS + properties; destructive changes refused") {
     val cat = freshCatalog("alter")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
