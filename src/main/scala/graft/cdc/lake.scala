@@ -217,6 +217,11 @@ object lake {
       currentVersionOpt.foreach { cv =>
         val cur = snapshotAt(cv)
         if (fence && next.epochId >= 0 && next.epochId <= cur.epochId) return false // replayed epoch: no-op
+        // a version at or below the current one means another writer
+        // committed since this snapshot was read — that's the optimistic-
+        // concurrency loss, typed so retry-safe callers (append) can act
+        if (next.version <= cur.version)
+          throw new CommitConflictException(name, next.version, null)
         require(next.version == cur.version + 1,
           s"non-monotonic commit: have v${cur.version}, got v${next.version}")
       }
@@ -563,29 +568,50 @@ object lake {
       * epoch fence untouched. */
     def append(df: DataFrame, epochId: Long = -1L, lsnHigh: Long = -1L,
         fenceScope: Option[String] = None): CommitResult = {
-      val cur = snapshot
+      // Bounded optimistic retry: an append removes nothing, so losing the
+      // version race to a concurrent writer (e.g. several ReplayEngines
+      // sharing one audit table) is always safely retryable — reload the
+      // snapshot and re-commit the ALREADY-WRITTEN files under the next
+      // version (the data job runs once per logical append; files record
+      // their own schemaVersion, so a concurrent schema evolution between
+      // attempts still reads back correctly). The fence re-check on each
+      // attempt preserves idempotence. Merge/overwrite do NOT auto-retry:
+      // their rewrites are derived from the now-stale snapshot.
       val scopedKey = fenceScope.map(s => s"graft.fence.$s")
-      scopedKey match {
-        case Some(k) =>
-          if (epochId >= 0 && cur.properties.get(k).exists(_.toLong >= epochId))
-            return CommitResult(committed = false, cur, Nil) // replayed epoch for this scope
-        case None =>
-          if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+      var written: Seq[DataFile] = null
+      var attempt = 0
+      while (true) {
+        val cur = snapshot
+        scopedKey match {
+          case Some(k) =>
+            if (epochId >= 0 && cur.properties.get(k).exists(_.toLong >= epochId))
+              return CommitResult(committed = false, cur, Nil) // replayed epoch for this scope
+          case None =>
+            if (epochId >= 0 && epochId <= cur.epochId) return CommitResult(committed = false, cur, Nil)
+        }
+        val next0 = cur.copy(version = cur.version + 1,
+          epochId = if (scopedKey.isEmpty) math.max(epochId, cur.epochId) else cur.epochId,
+          lsnHigh = math.max(lsnHigh, cur.lsnHigh),
+          properties = scopedKey.filter(_ => epochId >= 0)
+            .map(k => cur.properties + (k -> epochId.toString)).getOrElse(cur.properties))
+        if (written == null)
+          written = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
+        val (nf, nm) = nextFileState(cur, Set.empty, written)
+        val next = next0.copy(files = nf, manifests = nm)
+        try {
+          val ok = commit(next, fence = scopedKey.isEmpty && epochId >= 0)
+          val lin = written.groupBy(_.bucket).map { case (b, fs) =>
+            LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
+              fs.map(_.rows).sum, 0L, fs.size, 0, nowTs())
+          }.toSeq
+          return CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+        } catch {
+          case e: CommitConflictException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
       }
-      val next0 = cur.copy(version = cur.version + 1,
-        epochId = if (scopedKey.isEmpty) math.max(epochId, cur.epochId) else cur.epochId,
-        lsnHigh = math.max(lsnHigh, cur.lsnHigh),
-        properties = scopedKey.filter(_ => epochId >= 0)
-          .map(k => cur.properties + (k -> epochId.toString)).getOrElse(cur.properties))
-      val added = writeBucketed(cur.registry.conform(df, cur.schemaVersion), cur, next0.version)
-      val (nf, nm) = nextFileState(cur, Set.empty, added)
-      val next = next0.copy(files = nf, manifests = nm)
-      val ok = commit(next, fence = scopedKey.isEmpty && epochId >= 0)
-      val lin = added.groupBy(_.bucket).map { case (b, fs) =>
-        LineageEntry(name, next.version, epochId, b, lsnHigh, lsnHigh,
-          fs.map(_.rows).sum, 0L, fs.size, 0, nowTs())
-      }.toSeq
-      CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
+      sys.error("unreachable")
     }
 
     /** Additive schema evolution: commit a metadata-only snapshot whose current

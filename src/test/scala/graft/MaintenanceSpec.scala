@@ -299,6 +299,30 @@ class MaintenanceSpec extends SparkSuite {
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
+  test("concurrent appends from independent handles: conflict losers retry, no rows lost") {
+    import spark.implicits._
+    val root = tmpDir("concapp")
+    LakeTable.createIfNotExists(spark, root, "t", RepoRow.schemaV1, RepoRow.keyColumns,
+      numBuckets = 4)
+    def rows(tag: String) = (0 until 10).map(i => (s"r$tag", s"p$i", "c", "l", "x"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    // two INDEPENDENT handles (separate commit locks) race on versions; the
+    // loser of each optimistic claim must retry, not drop its rows
+    val handles = Seq(LakeTable.load(spark, root, "t"), LakeTable.load(spark, root, "t"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = handles.zipWithIndex.map { case (h, i) =>
+      new Thread(() => {
+        try (0 until 4).foreach(j => assert(h.append(rows(s"$i-$j")).committed))
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must all land: ${errs.peek()}")
+    val t = LakeTable.load(spark, root, "t")
+    assert(t.read().count() == 80, "every append's rows survive the races")
+    assert(t.snapshot.version == 8L, "8 appends = 8 committed versions")
+  }
+
   test("per-source fence scope: engines sharing one audit table never fence each other out") {
     val shared = LakeTable.createIfNotExists(spark, tmpDir("sharedaudit"), "dq",
       quality.DataQualityChecks.schema, Seq("table_name", "check_name"), numBuckets = 2)
