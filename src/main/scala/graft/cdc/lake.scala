@@ -1035,11 +1035,14 @@ object lake {
       * for any timestamp. Throws if the timestamp predates every retained
       * snapshot. */
     def versionAt(tsMillis: Long): Long = {
-      val eligible = history().filter(v => snapshotAt(v).committedAt.getOrElse(0L) <= tsMillis)
-      require(eligible.nonEmpty,
-        s"no snapshot of '$name' committed at or before timestamp $tsMillis " +
-          "(it predates the table, or older snapshots were vacuumed)")
-      eligible.max
+      // committedAt is monotone in version (commits serialize), so scan
+      // newest-first and stop at the first eligible snapshot — O(versions
+      // newer than ts) manifest parses, not O(all retained versions)
+      history().reverseIterator
+        .find(v => snapshotAt(v).committedAt.getOrElse(0L) <= tsMillis)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot of '$name' committed at or before timestamp $tsMillis " +
+            "(it predates the table, or older snapshots were vacuumed)"))
     }
 
     /** List snapshot versions currently on disk (oldest first). */
@@ -1160,10 +1163,13 @@ object lake {
             var removed = 0; var kept = 0
             val s = Files.walk(dir)
             try s.forEach { p =>
-              if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) {
+              if (Files.isRegularFile(p)) {
                 val rel = Paths.get(rootStr).relativize(p).toString
-                if (refB.value.contains(rel)) kept += 1
-                else { Files.deleteIfExists(p); removed += 1 }
+                if (p.toString.endsWith(".parquet") && !refB.value.contains(rel)) {
+                  Files.deleteIfExists(p); removed += 1
+                } else kept += 1 // referenced parquet OR any non-parquet file
+                  // (in-flight _temporary trees, markers): dir must survive,
+                  // same contract as the sequential sweep
               }
             } finally s.close()
             (dirStr, removed, kept)

@@ -150,14 +150,20 @@ object cdcq {
       def stateRows: Long = Option(q.lastProgress)
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       val deadline = System.currentTimeMillis() + 240000
-      while ((table.snapshot.lsnHigh < maxLsn || stateRows != 0) &&
+      while (q.isActive && (table.snapshot.lsnHigh < maxLsn || stateRows != 0) &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // surface the ROOT CAUSE if the query died (a swallowed foreachBatch /
+      // state-store failure would otherwise read as a misleading drain
+      // timeout four minutes later)
+      q.exception.foreach(e => throw e)
       assert(table.snapshot.lsnHigh == maxLsn,
         s"stream must drain every epoch (lsnHigh ${table.snapshot.lsnHigh} < $maxLsn)")
       assert(stateRows == 0,
         "TTL must evict all dedup state once the committed watermark covers it")
-    } finally q.stop()
-    changes.unpersist()
+    } finally {
+      q.stop()
+      changes.unpersist()
+    }
     table.read()
       .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("content"))
       .orderBy(col("repo"), col("path"))

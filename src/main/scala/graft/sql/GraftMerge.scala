@@ -88,10 +88,15 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, cond) if cond.forall(noSubquery) =>
       graftTarget(target) match {
         case Some(gt) =>
-          val keys = gt.table.snapshot.keyColumns.map(_.toLowerCase).toSet
+          val snap = gt.table.snapshot
+          val keys = snap.keyColumns.map(_.toLowerCase).toSet
+          // assignment keys must name REAL non-key columns: an unknown name
+          // must keep Spark's unresolved-column error, never lower into a
+          // command that would silently drop the assignment
+          val columns = snap.schema.fieldNames.map(_.toLowerCase).toSet
           val named = assignments.map(a => nameOf(a.key).map(_ -> a.value))
           if (named.exists(_.isEmpty) ||
-              named.flatten.exists { case (k, _) => keys(k) } ||
+              named.flatten.exists { case (k, _) => keys(k) || !columns(k) } ||
               assignments.exists(a => !noSubquery(a.value))) u // fall through
           else GraftUpdateCommand(gt, named.flatten, cond)
         case None => u
@@ -233,7 +238,20 @@ case class GraftMergeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val table = graftTable.table
     val snap = table.snapshot
+    // the source plan is consumed several times (bucket probe, merge stats
+    // pre-pass, write job); persist it so it EXECUTES once — besides the
+    // obvious cost win, a non-deterministic source (rand()/LIMIT/sampling)
+    // re-executed per consumer could yield a probe bucket set that doesn't
+    // cover the keys the join later sees. MERGE sources are batch-sized by
+    // contract, so the cache is bounded.
     val src = Bridge.ofRows(session, source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runWith(session, src, table, snap)
+    finally { src.unpersist(blocking = false); () }
+  }
+
+  private def runWith(session: SparkSession, src: org.apache.spark.sql.DataFrame,
+      table: graft.cdc.lake.LakeTable, snap: graft.cdc.lake.Snapshot): Seq[Row] = {
     // leg conditions are source-only by the rule's contract; rebind them
     // against the source DataFrame by name (qualifiers stripped)
     def byName(c: Expression): org.apache.spark.sql.Column = GraftRowLevel.byName(c)
@@ -257,15 +275,19 @@ case class GraftMergeCommand(
         // 100 TB envelope a sparse MERGE batch probes a few buckets' files,
         // never the whole table. (The source plan runs once more here; a
         // MERGE source is batch-sized by contract, the target is not.)
-        val keyTypes = snap.schema.fields.filter(f => keys.contains(f.name))
-          .map(f => f.name -> f.dataType).toMap
-        val castKeys = keys.map(k => col(k).cast(keyTypes(k)).as(k))
+        val keyTypes = snap.schema.fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap
+        val castKeys = keys.map(k =>
+          keyTypes.get(k.toLowerCase).map(col(k).cast(_)).getOrElse(col(k)).as(k))
         val touched = src.select(castKeys: _*)
           .select(table.bucketExpr(snap).as("_b")).distinct()
           .collect().map(_.getInt(0)).toSet
         val probeFiles = table.filesOfBuckets(snap, Some(touched))
+        // total file count from the refs alone (zero manifest reads — the
+        // observability hook must not pay the O(all buckets) cost the
+        // pruned probe exists to avoid)
         GraftMergeCommand.lastProbe.set(Some(
-          (probeFiles.size, table.filesOfBuckets(snap, None).size)))
+          (probeFiles.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))
         val tgtKeys = table.readBuckets(snap, Some(touched))
           .select(keys.map(col): _*).withColumn(matchedCol, lit(true))
         src.join(tgtKeys, keys, "left")

@@ -253,6 +253,9 @@ class GraftSqlSpec extends SparkSuite {
     // (a keyed merge cannot express a PK rewrite) and subquery predicates
     intercept[Exception] { spark.sql(s"UPDATE $cat.db.t SET k = 'z' WHERE kind = 'x!'") }
     intercept[Exception] { spark.sql(s"DELETE FROM $cat.db.t WHERE k IN (SELECT 'a')") }
+    // an unknown SET column must surface Spark's unresolved-column error,
+    // never lower into a merge that silently drops the assignment
+    intercept[Exception] { spark.sql(s"UPDATE $cat.db.t SET no_such_col = 'x'") }
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 3,
       "refused shapes must not mutate the table")
   }
