@@ -51,7 +51,15 @@ object lake {
       schemaVersion: Int,
       lsnMin: Long,
       lsnMax: Long,
-      kind: String = "base") // "base" (payload rows) | "delta" (lsn+op+payload change rows)
+      kind: String = "base", // "base" (payload rows) | "delta" (lsn+op+payload change rows)
+      /** Base files written by a merge/compaction carry a per-ROW `_lsn`
+        * system column (the winning event's LSN): base rows then re-enter
+        * later merges at their TRUE position in the log instead of the
+        * always-lose sentinel -1, which makes CoW merges and MoR reads
+        * order-correct even when a later epoch redelivers stale LSNs.
+        * false (json4s default) for pre-field manifests and for
+        * append/overwrite files, whose rows read back at -1. */
+      rowLsn: Boolean = false)
 
   /** Pointer to one bucket's immutable manifest file (chunked-manifest mode,
     * Iceberg's manifest-list idea minimized): `path` is root-relative, the
@@ -154,6 +162,8 @@ object lake {
         keyColumns: Seq[String],
         numBuckets: Int = 32,
         properties: Map[String, String] = Map.empty): LakeTable = {
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase("_lsn")),
+        s"table '$name': _lsn is a reserved system column name (per-row log position)")
       val t = new LakeTable(spark, root, name)
       if (t.currentVersionOpt.isEmpty) {
         val snap0 = Snapshot(1, name, 0L, 1,
@@ -388,57 +398,93 @@ object lake {
     /** Current state of the selected buckets. If MoR delta files exist for
       * them, they are applied at read time with the same fused max-LSN
       * aggregation the CoW merge uses. */
-    def readBuckets(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    def readBuckets(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame =
+      readBucketsWithLsn(snap, buckets).drop("_lsn")
+
+    /** [[readBuckets]] plus the per-row `_lsn` system column — the internal
+      * read the merge/compaction paths use so rewritten base files keep each
+      * row's true log position (rows from lsn-less files surface -1). */
+    private def readBucketsWithLsn(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
       val wanted = filesOfBuckets(snap, buckets)
-      val base = readFileGroup(snap, wanted.filter(_.kind == "base"), withMeta = false)
+      val base = readBase(snap, wanted.filter(_.kind == "base"))
       val deltaFiles = wanted.filter(_.kind == "delta")
       if (deltaFiles.isEmpty) base
       else mergeExpr(base.select(
-          (Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++
+          (Seq(col("_lsn").as("lsn"), lit(null).cast(StringType).as("op")) ++
             snap.schema.fieldNames.map(col)): _*)
-          .unionByName(readFileGroup(snap, deltaFiles, withMeta = true)), snap)
+          .unionByName(readDeltas(snap, deltaFiles)), snap)
     }
 
-    /** Read a set of files, conforming each schema-version group to the
-      * snapshot's current schema. `withMeta` = the files carry (lsn, op)
-      * change metadata ahead of the payload (delta files). */
-    private def readFileGroup(snap: Snapshot, files: Seq[DataFile], withMeta: Boolean): DataFrame = {
-      val reg = snap.registry
+    /** Read base files, conforming each (schemaVersion, rowLsn) group to the
+      * current schema; output = `_lsn` system column (stored per row for
+      * merge-written files, -1 for append/overwrite/pre-field files) followed
+      * by the payload. */
+    private def readBase(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+      val lsnField = StructField("_lsn", LongType, nullable = false)
+      if (files.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(lsnField +: snap.schema.fields))
+      } else {
+        files.groupBy(f => (f.schemaVersion, f.rowLsn)).map { case ((sv, hasLsn), group) =>
+          val paths = group.map(f => Paths.get(root, f.path).toString)
+          val fileSchema = snap.schemaOf(sv)
+          val physical = if (hasLsn) StructType(lsnField +: fileSchema.fields) else fileSchema
+          val df = spark.read.schema(physical).parquet(paths: _*)
+          val have = fileSchema.fieldNames.toSet
+          val payloadCols = snap.schema.fields.map { f =>
+            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          val lsnCol = if (hasLsn) col("_lsn") else lit(-1L).as("_lsn")
+          df.select((lsnCol +: payloadCols).toSeq: _*)
+        }.reduce(_ unionByName _)
+      }
+    }
+
+    /** Read delta files: (lsn, op) change metadata ahead of the payload,
+      * payload conformed per schema-version group. */
+    private def readDeltas(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
       val metaFields = Seq(StructField("lsn", LongType, nullable = false),
         StructField("op", StringType, nullable = true))
-      val emptySchema = if (withMeta) StructType(metaFields ++ snap.schema.fields) else snap.schema
       if (files.isEmpty) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(metaFields ++ snap.schema.fields))
       } else {
         files.groupBy(_.schemaVersion).map { case (sv, group) =>
           val paths = group.map(f => Paths.get(root, f.path).toString)
-          val physical = if (withMeta) StructType(metaFields ++ snap.schemaOf(sv).fields)
-            else snap.schemaOf(sv)
+          val physical = StructType(metaFields ++ snap.schemaOf(sv).fields)
           val df = spark.read.schema(physical).parquet(paths: _*)
-          if (withMeta) {
-            // conform the payload columns while keeping the change metadata
-            val have = df.schema.fieldNames.toSet
-            val payloadCols = snap.schema.fields.map { f =>
-              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
-            }
-            df.select((Seq(col("lsn"), col("op")) ++ payloadCols).toSeq: _*)
-          } else reg.conform(df, snap.schemaVersion)
+          val have = df.schema.fieldNames.toSet
+          val payloadCols = snap.schema.fields.map { f =>
+            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          df.select((Seq(col("lsn"), col("op")) ++ payloadCols).toSeq: _*)
         }.reduce(_ unionByName _)
       }
     }
 
     /** The fused max-LSN resolution: input rows carry (lsn, op, payload...);
       * per key the highest-LSN row wins, a winning delete drops the key.
-      * Used by both the CoW merge and the MoR read path. */
+      * Used by both the CoW merge and the MoR read path. Output keeps the
+      * winner's LSN as `_lsn` so merge writes can persist it per row.
+      *
+      * Because base rows enter at their STORED row LSN (not -1), a stale
+      * redelivered event in a later epoch loses to the state it would have
+      * regressed — order-correct without relying on upstream dedup. The one
+      * boundary: a key already DELETED has no base row to outrank a stale
+      * pre-delete redelivery, so anti-resurrection of deleted keys still
+      * needs the cross-epoch dedup watermark (streaming.statefulDedup) or an
+      * in-order tail. */
     private def mergeExpr(all: DataFrame, snap: Snapshot): DataFrame = {
       val keys = snap.keyColumns
       val nonKey = snap.schema.fieldNames.toSeq.filterNot(keys.contains)
       all.groupBy(keys.map(col): _*)
         .agg(graft.functions.MaxByRow.maxByRow(
-          struct((Seq(col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
+          struct((Seq(col("lsn"), col("op")) ++ nonKey.map(col)): _*), col("lsn")).as("_e"))
         .filter(!(col("_e.op") <=> lit("D")))
-        .select(keys.map(col) ++ nonKey.map(c => col(s"_e.$c").as(c)): _*)
+        .select((keys.map(col) ++ nonKey.map(c => col(s"_e.$c").as(c)) :+
+          col("_e.lsn").as("_lsn")): _*)
     }
 
     // ---- write path --------------------------------------------------------
@@ -447,9 +493,13 @@ object lake {
       * the new DataFiles. Parquet row counts come from file footers (no second
       * scan of the data). */
     private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
-        repartitionByBucket: Boolean = true, kind: String = "base"): Seq[DataFile] = {
+        repartitionByBucket: Boolean = true, kind: String = "base",
+        withRowLsn: Boolean = false): Seq[DataFile] = {
       val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
-      val metaCols = if (kind == "delta") Seq(col("lsn"), col("op")) else Nil
+      val metaCols =
+        if (kind == "delta") Seq(col("lsn"), col("op"))
+        else if (withRowLsn) Seq(col("_lsn")) // per-row system column (DataFile.rowLsn)
+        else Nil
       val cols = metaCols ++ snap.schema.fieldNames.map(col)
       val bucketed = df.withColumn("_b", bucketExpr(snap))
         .select((cols :+ col("_b")).toSeq: _*)
@@ -466,7 +516,7 @@ object lake {
         val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
         // lsn ranges are stamped post-hoc by callers (they know the batch stats)
         DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion,
-          -1L, -1L, kind)
+          -1L, -1L, kind, rowLsn = kind == "base" && withRowLsn)
       }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
 
@@ -618,6 +668,8 @@ object lake {
       * schema is `next` (new nullable columns / widened types). Existing data
       * files keep their physical schemaVersion and are conformed on read. */
     def evolveSchema(next: StructType): Snapshot = {
+      require(!next.fieldNames.exists(_.equalsIgnoreCase("_lsn")),
+        s"table '$name': _lsn is a reserved system column name")
       val cur = snapshot
       val reg = cur.registry.evolve(next)
       val ns = cur.copy(version = cur.version + 1,
@@ -743,9 +795,10 @@ object lake {
       // chunked mode: only the touched buckets' manifests are read — the
       // sparse epoch never materializes the full file list driver-side
       val wanted = filesOfBuckets(cur, Some(touched))
-      val base = readFileGroup(cur, wanted.filter(_.kind == "base"), withMeta = false)
-        .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
-      val deltas = readFileGroup(cur, wanted.filter(_.kind == "delta"), withMeta = true)
+      // base rows re-enter the race at their STORED row LSN (see mergeExpr)
+      val base = readBase(cur, wanted.filter(_.kind == "base"))
+        .select((Seq(col("_lsn").as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
+      val deltas = readDeltas(cur, wanted.filter(_.kind == "delta"))
       val merged = mergeExpr(base.unionByName(deltas).unionByName(batch.select(ordered: _*)), cur)
 
       val nextVersion = cur.version + 1
@@ -753,7 +806,7 @@ object lake {
       // the aggregate hash-partitioned on the key columns, which determines
       // the bucket — no repartition before the bucketed write
       val rawFiles = timed("merge:agg+write")(writeBucketed(merged, cur, nextVersion,
-        repartitionByBucket = false))
+        repartitionByBucket = false, withRowLsn = true))
       val newFiles = rawFiles.map(f =>
         f.copy(lsnMin = lsnByBucket.get(f.bucket).map(_._1).getOrElse(-1L),
           lsnMax = lsnByBucket.get(f.bucket).map(_._2).getOrElse(-1L)))
@@ -807,14 +860,14 @@ object lake {
         .observe(obs, aggs.head, aggs.tail: _*)
         .drop("_ob")
       val curFiles = filesOf(cur) // dense = full touch: resolving all is the job
-      val base = readFileGroup(cur, curFiles.filter(_.kind == "base"), withMeta = false)
-        .select((Seq(lit(-1L).as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
-      val deltas = readFileGroup(cur, curFiles.filter(_.kind == "delta"), withMeta = true)
+      val base = readBase(cur, curFiles.filter(_.kind == "base"))
+        .select((Seq(col("_lsn").as("lsn"), lit(null).cast(StringType).as("op")) ++ payload.map(col)): _*)
+      val deltas = readDeltas(cur, curFiles.filter(_.kind == "delta"))
       val merged = mergeExpr(base.unionByName(deltas).unionByName(batchObs), cur)
 
       val nextVersion = cur.version + 1
       val rawFiles = timed("merge:agg+write")(writeBucketed(merged, cur, nextVersion,
-        repartitionByBucket = false))
+        repartitionByBucket = false, withRowLsn = true))
       preCommit() // batch Observations have resolved; abort here = zero committed state
 
       val m = obs.get
@@ -975,9 +1028,10 @@ object lake {
       val cur = snapshot
       val deltaBuckets = bucketsWithDeltas(cur)
       if (deltaBuckets.isEmpty) return 0
-      val data = readBuckets(cur, Some(deltaBuckets)) // fused apply
+      val data = readBucketsWithLsn(cur, Some(deltaBuckets)) // fused apply, row LSNs kept
       val olds = filesOfBuckets(cur, Some(deltaBuckets))
-      val newFiles = writeBucketed(data, cur, cur.version + 1, repartitionByBucket = false)
+      val newFiles = writeBucketed(data, cur, cur.version + 1, repartitionByBucket = false,
+        withRowLsn = true)
         .map { f =>
           val o = olds.filter(x => x.bucket == f.bucket && x.lsnMin >= 0)
           f.copy(lsnMin = if (o.isEmpty) -1L else o.map(_.lsnMin).min,
@@ -1017,7 +1071,7 @@ object lake {
       // delta-only resolution: manifests without delta files are never read
       val before = filesOfBuckets(sinceSnap, None, deltaOnly = true).map(_.path).toSet
       val newDeltas = filesOfBuckets(cur, None, deltaOnly = true).filterNot(f => before(f.path))
-      readFileGroup(cur, newDeltas, withMeta = true)
+      readDeltas(cur, newDeltas)
     }
 
     // ---- maintenance ------------------------------------------------------
@@ -1064,8 +1118,8 @@ object lake {
       val buckets = fileCountsByBucket(cur).filter(_._2 >= minFiles).keySet
       if (buckets.isEmpty) return 0
       val toCompact = filesOfBuckets(cur, Some(buckets)).groupBy(_.bucket)
-      val data = readBuckets(cur, Some(buckets))
-      val newFiles = writeBucketed(data, cur, cur.version + 1).map { f =>
+      val data = readBucketsWithLsn(cur, Some(buckets))
+      val newFiles = writeBucketed(data, cur, cur.version + 1, withRowLsn = true).map { f =>
         // exclude the -1 "unstamped" sentinel from the range fold (matches
         // compactDeltas) so one unstamped file can't corrupt the lsn range
         val olds = toCompact.getOrElse(f.bucket, Nil).filter(_.lsnMin >= 0)

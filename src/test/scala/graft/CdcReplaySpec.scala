@@ -233,6 +233,35 @@ class CdcReplaySpec extends SparkSuite {
     assert(audit.read().filter(col("criticality") === "warn").count() == 1)
   }
 
+  test("row-level LSN: stale cross-epoch redeliveries cannot regress existing keys") {
+    import spark.implicits._
+    def batch(rows: Seq[(Long, String, String, String, String)]) =
+      rows.map { case (lsn, op, path, c, content) => (lsn, op, "r1", path, c, "scala", content) }
+        .toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    // CoW: epoch 0 applies K@10 (content A); epoch 1 REDELIVERS K@5 (stale
+    // B). Base rows re-enter the merge at their stored row LSN, so the
+    // stale event loses — pre row-LSN, base rows raced at -1 and B won.
+    val t1 = LakeTable.createIfNotExists(spark, tmpDir("rowlsn-cow"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    assert(t1.merge(batch(Seq((10L, "U", "K", "c10", "A"), (11L, "U", "L", "c11", "x"))), 0).committed)
+    assert(t1.merge(batch(Seq((5L, "U", "K", "c5", "B"), (12L, "U", "M", "c12", "y"))), 1).committed)
+    def k(t: LakeTable) = t.read().filter(col("path") === "K")
+      .select("content").collect()(0).getString(0)
+    assert(k(t1) == "A", s"stale K@5 must lose to the stored row LSN 10")
+    assert(t1.read().count() == 3)
+    // MoR: a stale delta below the base row's LSN loses at read time AND
+    // the resolution survives compaction
+    val t2 = LakeTable.createIfNotExists(spark, tmpDir("rowlsn-mor"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    assert(t2.merge(batch(Seq((10L, "U", "K", "c10", "A"))), 0).committed)
+    assert(t2.deltaAppend(batch(Seq((5L, "U", "K", "c5", "B"), (20L, "U", "L", "c20", "z"))), 1).committed)
+    assert(k(t2) == "A", "stale MoR delta must lose to the stored base row LSN")
+    t2.compactDeltas()
+    assert(k(t2) == "A", "compaction must preserve the stored-LSN resolution")
+    // the system column never leaks through public reads
+    assert(!t1.read().columns.contains("_lsn") && !t2.read().columns.contains("_lsn"))
+  }
+
   test("multi-epoch replay converges to the oracle final state (sha256 row equality)") {
     val cfg = gen.GenConfig(n = 20000, nKeys = 3000, numPartitions = 8)
     val table = replay(tmpDir("lake"), cfg, epochs = 5)
