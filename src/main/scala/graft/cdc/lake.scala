@@ -78,6 +78,10 @@ object lake {
       keyColumns: Seq[String],
       numBuckets: Int,
       epochId: Long,
+      /** Highest LSN ever applied. INVARIANT: every stored row `_lsn` in the
+        * table's base/delta files is <= this value (each commit folds its
+        * files' lsnMax into it) — the ad-hoc SQL MERGE/DELETE/UPDATE
+        * commands rely on it when stamping their batches at lsnHigh + 1. */
       lsnHigh: Long,
       properties: Map[String, String],
       files: Seq[DataFile],
@@ -176,6 +180,12 @@ object lake {
     def load(spark: SparkSession, root: String, name: String): LakeTable = {
       val t = new LakeTable(spark, root, name)
       require(t.currentVersionOpt.nonEmpty, s"lake table not found at $root")
+      // fail FAST on a pre-reservation table whose payload has an _lsn
+      // column: the read path would otherwise silently drop the user's
+      // column (it collides with the per-row system column)
+      require(!t.snapshot.schema.fieldNames.exists(_.equalsIgnoreCase("_lsn")),
+        s"table '$name' has a payload column named _lsn, which this version reserves " +
+          "as the per-row system column — rename the column before upgrading")
       t
     }
 
@@ -415,6 +425,18 @@ object lake {
           .unionByName(readDeltas(snap, deltaFiles)), snap)
     }
 
+    /** The read-side half of schema conformance, shared by the base and
+      * delta readers: cast columns the file carries, null-fill columns
+      * added since its schema version (the projection mirror of
+      * SchemaRegistry.conform's additive-evolution rules). */
+    private def conformedPayload(snap: Snapshot, fileSchema: StructType): Seq[org.apache.spark.sql.Column] = {
+      val have = fileSchema.fieldNames.toSet
+      snap.schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+
     /** Read base files, conforming each (schemaVersion, rowLsn) group to the
       * current schema; output = `_lsn` system column (stored per row for
       * merge-written files, -1 for append/overwrite/pre-field files) followed
@@ -430,13 +452,8 @@ object lake {
           val fileSchema = snap.schemaOf(sv)
           val physical = if (hasLsn) StructType(lsnField +: fileSchema.fields) else fileSchema
           val df = spark.read.schema(physical).parquet(paths: _*)
-          val have = fileSchema.fieldNames.toSet
-          val payloadCols = snap.schema.fields.map { f =>
-            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }
           val lsnCol = if (hasLsn) col("_lsn") else lit(-1L).as("_lsn")
-          df.select((lsnCol +: payloadCols).toSeq: _*)
+          df.select((lsnCol +: conformedPayload(snap, fileSchema)).toSeq: _*)
         }.reduce(_ unionByName _)
       }
     }
@@ -452,14 +469,10 @@ object lake {
       } else {
         files.groupBy(_.schemaVersion).map { case (sv, group) =>
           val paths = group.map(f => Paths.get(root, f.path).toString)
-          val physical = StructType(metaFields ++ snap.schemaOf(sv).fields)
+          val fileSchema = snap.schemaOf(sv)
+          val physical = StructType(metaFields ++ fileSchema.fields)
           val df = spark.read.schema(physical).parquet(paths: _*)
-          val have = df.schema.fieldNames.toSet
-          val payloadCols = snap.schema.fields.map { f =>
-            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }
-          df.select((Seq(col("lsn"), col("op")) ++ payloadCols).toSeq: _*)
+          df.select((Seq(col("lsn"), col("op")) ++ conformedPayload(snap, fileSchema)).toSeq: _*)
         }.reduce(_ unionByName _)
       }
     }
@@ -724,7 +737,7 @@ object lake {
       * over by manifest reference (zero data movement).
       *
       * Physical shape — ONE Spark job, one wide shuffle, per dense epoch:
-      * union(target rows @ lsn=-1, batch events) -> hash-aggregate
+      * union(target rows @ their stored row _lsn, batch events) -> hash-aggregate
       * max_by_row(payload, lsn) per key (custom TypedImperativeAggregate,
       * graft.functions.MaxByRow — the built-in max_by(struct, lsn) degrades
       * to SortAggregate for wide payloads) -> drop keys whose winner is a
@@ -743,13 +756,17 @@ object lake {
       * at 100 TB: epoch cost scales with the batch's key spread, not with
       * table size.
       *
-      * Ordering contract (binlog tail): epochs must be applied in LSN order —
-      * epoch e+1's events carry LSNs above epoch e's. Within a batch, order
-      * and duplication are free (max-LSN resolution); across epochs the fence
-      * enforces monotonic epoch ids, and base rows re-enter the race at
-      * lsn = -1 (they always lose to the current batch, which is exactly the
-      * in-order-tail semantics). MoR delta rows keep their true LSNs, so a
-      * mixed base/delta/batch merge resolves by real LSN where it exists.
+      * Ordering contract (binlog tail): epoch ids are fenced monotonic, and
+      * within a batch order and duplication are free (max-LSN resolution).
+      * ACROSS epochs the resolution is by true log position everywhere:
+      * base rows re-enter the race at their STORED row `_lsn` (written by
+      * every merge/compaction; -1 only for append/overwrite/pre-upgrade
+      * files) and MoR delta rows at their own LSNs — so a later epoch that
+      * redelivers stale LSNs cannot regress an existing key. The one
+      * ordering obligation that remains upstream: a key already DELETED has
+      * no row to outrank a stale pre-delete redelivery, so deleted-key
+      * anti-resurrection needs an in-order tail or the cross-epoch dedup
+      * watermark (streaming.statefulDedup).
       *
       * `preCommit` runs after the write job completes (any Observations on
       * `batch` have resolved) but BEFORE the snapshot commit — throwing from
@@ -788,9 +805,10 @@ object lake {
         r.getAs[Int]("_b") -> (r.getAs[Long]("lmin"), r.getAs[Long]("lmax"))).toMap
       val lsnHigh = lsnByBucket.values.map(_._2).max
 
-      // fused dedup+merge: base rows join the race at lsn = -1, MoR delta rows
-      // at their own LSN, batch events at theirs — one aggregation resolves
-      // everything (a CoW merge also compacts any deltas of touched buckets)
+      // fused dedup+merge: base rows join the race at their stored row _lsn,
+      // MoR delta rows at their own LSN, batch events at theirs — one
+      // aggregation resolves everything by true log position (a CoW merge
+      // also compacts any deltas of touched buckets)
       val ordered = (Seq(col("lsn"), col("op")) ++ payload.map(col))
       // chunked mode: only the touched buckets' manifests are read — the
       // sparse epoch never materializes the full file list driver-side
@@ -908,9 +926,12 @@ object lake {
     /** Per-bucket batch stats, one narrow aggregate job (content is
       * column-pruned out of the scan). Dense epochs aggregate RAW events
       * straight to <= numBuckets groups — fully map-side combinable, no
-      * per-key stage. Sparse epochs first reduce to per-key winners so the
-      * lineage counts are exact applied rows (and the touched-bucket set
-      * prunes the target read). */
+      * per-key stage. Sparse epochs first reduce to per-key winners, so the
+      * lineage counts are the batch's per-key change rows (and the
+      * touched-bucket set prunes the target read). Counting note: a winner
+      * that then LOSES to a higher stored row `_lsn` (a stale redelivery)
+      * is still counted — lineage/metrics report the batch's change volume,
+      * an upper bound on rows actually applied under redelivery. */
     private def perBucketStats(batch: DataFrame, cur: Snapshot,
         assumeFullTouch: Boolean): Array[org.apache.spark.sql.Row] = {
       val keys = cur.keyColumns

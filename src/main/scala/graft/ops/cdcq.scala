@@ -91,13 +91,14 @@ object cdcq {
     * shared-storage watermark file) -> foreachBatch epochs through the SAME
     * ReplayEngine as q30.
     *
-    * The redeliveries make the stateful dedup load-bearing for correctness,
-    * not decorative: a stale LSN replayed into a later epoch would regress
-    * its key in the CoW merge (base rows re-enter the max-LSN race at
-    * lsn = -1), so the final state matches q30's relational oracle ONLY if
-    * statefulDedup suppresses every below-watermark event. The TTL path is
-    * equally load-bearing: the drain loop REQUIRES the state store to reach
-    * zero rows (eviction under the published watermark) before stopping.
+    * The redeliveries exercise the at-least-once tail: the stateful dedup
+    * suppresses them before they cost an epoch any work, and it remains
+    * load-bearing for DELETED keys (a stale pre-delete redelivery has no
+    * surviving base row to outrank it — only the dedup watermark stops the
+    * resurrection); existing keys are additionally guarded by the stored
+    * row `_lsn` in base files. The TTL path is equally load-bearing: the
+    * drain loop REQUIRES the state store to reach zero rows (eviction under
+    * the published watermark) before stopping.
     *
     * Trigger choice: `Trigger.ProcessingTime` + poll + stop, NOT
     * AvailableNow — Spark 4.1's AvailableNow never terminates while a

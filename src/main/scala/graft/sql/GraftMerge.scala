@@ -299,9 +299,11 @@ case class GraftMergeCommand(
     // only when the insert condition admits them
     val kept = flagged.filter(col(matchedCol) || insC)
     val opCol = when(col(matchedCol) && delC, "D").otherwise("U")
-    // all rows of one SQL MERGE share one LSN above the committed watermark:
-    // base rows enter the race at lsn = -1, so the batch wins per key
-    // (multiple source rows per key is undefined under SQL MERGE anyway)
+    // all rows of one SQL MERGE share one LSN above the committed
+    // watermark: by the Snapshot.lsnHigh invariant every stored row _lsn
+    // is <= lsnHigh, so lsnHigh + 1 outranks every existing row and the
+    // batch wins per key (multiple source rows per key is undefined under
+    // SQL MERGE anyway)
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
     val payload = snap.schema.fieldNames.toSeq
     val batch = kept.select(
