@@ -99,6 +99,44 @@ class ConvergenceSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: random cross-epoch REDELIVERY (delete-free) converges via stored row LSNs") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    // deletePct = 0: with no tombstones, the stored row _lsn makes replay
+    // robust to ARBITRARY stale redelivery into later epochs without any
+    // upstream dedup — the oracle is the plain final state. (Deleted-key
+    // anti-resurrection is the dedup watermark's contract, tested in q41.)
+    val cfgGen = for {
+      n <- SGen.choose(2000L, 5000L)
+      keys <- SGen.choose(200L, 1500L)
+      epochs <- SGen.choose(2, 5)
+      mod <- SGen.choose(3, 11) // every mod-th earlier event redelivers
+      mode <- SGen.oneOf(MergeMode.CoW, MergeMode.MoR)
+    } yield (gen.GenConfig(n = n, nKeys = keys, deletePct = 0, numPartitions = 4),
+      epochs, mod, mode)
+    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, epochs, mod, mode) =>
+      val table = LakeTable.createIfNotExists(spark, tmpDir("redeliver"), "t",
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+      val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = mode)
+      val all = gen.changeEvents(spark, cfg)
+      val per = (cfg.n + epochs - 1) / epochs
+      (0 until epochs).foreach { e =>
+        val fresh = all.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per)
+        val stale = all.filter(col("lsn") < e * per && pmod(col("lsn"), lit(mod)) === 0)
+        engine.applyEpoch(fresh.unionByName(stale), e)
+      }
+      if (mode == MergeMode.MoR) table.compactDeltas()
+      val got = table.read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      val exp = gen.oracleFinalState(cfg)
+      got.size == exp.size && exp.forall { case (k, e) =>
+        got.get(k).contains(gen.sha256Hex(e.content))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: MIXED CoW/MoR epochs converge to the oracle (CoW merges fold outstanding deltas)") {
     import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
     val cfgGen = for {
