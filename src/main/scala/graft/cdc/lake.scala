@@ -63,8 +63,11 @@ object lake {
 
   /** Pointer to one bucket's immutable manifest file (chunked-manifest mode,
     * Iceberg's manifest-list idea minimized): `path` is root-relative, the
-    * counts let planners prune without reading the manifest. */
-  final case class ManifestRef(path: String, bucket: Int, numFiles: Int, deltaFiles: Int)
+    * counts let planners prune without reading the manifest; `rows`/`bytes`
+    * sums feed table-level statistics without reading it either (0 on
+    * refs written before the fields existed = stats unknown, never a lie). */
+  final case class ManifestRef(path: String, bucket: Int, numFiles: Int, deltaFiles: Int,
+      rows: Long = 0L, bytes: Long = 0L)
 
   /** On-disk payload of one per-bucket manifest file. */
   final case class ManifestData(files: Seq[DataFile])
@@ -309,7 +312,8 @@ object lake {
       val rel = s"meta/m/${UUID.randomUUID().toString.take(12)}-b$bucket.json"
       Files.writeString(Paths.get(root, rel), Serialization.write(ManifestData(files)))
       manifestCache.put(rel, files)
-      ManifestRef(rel, bucket, files.size, files.count(_.kind == "delta"))
+      ManifestRef(rel, bucket, files.size, files.count(_.kind == "delta"),
+        files.map(_.rows).sum, files.map(_.bytes).sum)
     }
 
     /** All data files of a snapshot (inline + manifest-resolved). In chunked

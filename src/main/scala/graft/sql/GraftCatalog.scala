@@ -50,6 +50,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"set spark.sql.catalog.$name.warehouse to the lake warehouse directory"))
+    // register the post-pushdown stats rule (GraftStats.scala): the "User
+    // Provided Optimizers" batch is the only logical extension point that
+    // runs AFTER V2ScanRelationPushDown has built the V1ScanWrapper the
+    // rule rewrites; every SparkSessionExtensions optimizer hook runs
+    // before it. Idempotent; stats only matter for catalog-resolved tables,
+    // so first catalog use is the natural registration moment.
+    val session = SparkSession.active
+    if (!session.experimental.extraOptimizations.contains(GraftStatsRule)) {
+      session.experimental.extraOptimizations =
+        session.experimental.extraOptimizations :+ GraftStatsRule
+    }
   }
 
   override def name(): String = catalogName
@@ -306,12 +317,35 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     * is always safe. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = snap.schema
-        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          new GraftV1Relation(ctx, snap.schema,
-            () => table.readBuckets(snap, None)).asInstanceOf[T]
-      }
+      override def build(): Scan =
+        new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          override def readSchema(): StructType = snap.schema
+          override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+            new GraftV1Relation(ctx, snap.schema,
+              () => table.readBuckets(snap, None)).asInstanceOf[T]
+
+          /** Table-level statistics from the snapshot alone — inline file
+            * entries plus the rows/bytes sums the manifest refs carry, ZERO
+            * manifest reads. Without this Catalyst assumes infinite size and
+            * a 100-row dim table never broadcasts in a statically-planned
+            * join (AQE rescues shuffles at runtime, but join ORDER and
+            * non-AQE contexts plan on these numbers). Refs written before
+            * the sums existed report 0 with files present — then the size
+            * stays unknown rather than under-reported (a falsely-small
+            * table would broadcast something huge). */
+          override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+            new org.apache.spark.sql.connector.read.Statistics {
+              private val known = snap.manifests.forall(m => m.numFiles == 0 || m.bytes > 0)
+              override def sizeInBytes(): java.util.OptionalLong =
+                if (known) java.util.OptionalLong.of(
+                  snap.files.map(_.bytes).sum + snap.manifests.map(_.bytes).sum)
+                else java.util.OptionalLong.empty()
+              override def numRows(): java.util.OptionalLong =
+                if (known) java.util.OptionalLong.of(
+                  snap.files.map(_.rows).sum + snap.manifests.map(_.rows).sum)
+                else java.util.OptionalLong.empty()
+            }
+        }
     }
 
   /** V1 relation over the current lake DataFrame. TableScan satisfies the

@@ -315,6 +315,27 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 3, "fresh resolution sees the commit")
   }
 
+  test("lake tables report statistics: a tiny dim broadcasts in a statically-planned join") {
+    val cat = freshCatalog("stats")
+    spark.sql(s"""CREATE TABLE $cat.db.dim (k BIGINT, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.dim VALUES " +
+      (0 until 100).map(i => s"($i,'v$i')").mkString(","))
+    // snapshot-derived size/rows reach Catalyst (pre-fix: defaultSizeInBytes
+    // = Long.MaxValue, so no lake table could ever statically broadcast)
+    val size = spark.sql(s"SELECT * FROM $cat.db.dim").queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < 10L * 1024 * 1024, s"true table size must reach Catalyst, got $size")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static planning only
+    try {
+      spark.range(0, 100000).createOrReplaceTempView("big_stats")
+      val plan = spark.sql(s"SELECT count(*) FROM big_stats b JOIN $cat.db.dim d ON b.id = d.k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "the 100-row dim must broadcast without AQE's runtime rescue:\n" + plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("catalog scans prune columns and push filters into the lake's parquet scan") {
     val cat = freshCatalog("prune")
     spark.sql(s"""CREATE TABLE $cat.db.t (repo STRING, path STRING, content STRING)
