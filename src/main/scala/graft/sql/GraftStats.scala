@@ -28,11 +28,16 @@ class StatsV1ScanWrapper(v1: V1Scan, handled: Seq[Filter], ops: PushedDownOperat
   extends V1ScanWrapper(v1, handled, ops) with SupportsReportStatistics {
   override def estimateStatistics(): Statistics =
     v1.asInstanceOf[SupportsReportStatistics].estimateStatistics()
-  // the inherited case-class equality would make this wrapper compare EQUAL
+  // The inherited case-class equality would make this wrapper compare EQUAL
   // to the plain wrapper it replaces — TreeNode.fastEquals would then
-  // silently discard the replacement inside transform. Narrowing canEqual
-  // keeps the swap visible to the tree machinery.
+  // silently discard the replacement inside transform. Narrow BOTH sides
+  // (canEqual for plain.equals(stats), equals for stats.equals(plain)) so
+  // the distinction stays symmetric — an asymmetric equals would break the
+  // contract plan canonicalization relies on.
   override def canEqual(that: Any): Boolean = that.isInstanceOf[StatsV1ScanWrapper]
+  override def equals(other: Any): Boolean =
+    other.isInstanceOf[StatsV1ScanWrapper] && super.equals(other)
+  override def hashCode(): Int = super.hashCode()
 }
 
 object GraftStatsRule extends Rule[LogicalPlan] {
