@@ -237,8 +237,10 @@ object lake {
       * carry the current epochId forward rather than advancing it. */
     def commit(next: Snapshot, fence: Boolean = true): Boolean = synchronized {
       Files.createDirectories(metaDir)
+      var prevCommittedAt = 0L
       currentVersionOpt.foreach { cv =>
         val cur = snapshotAt(cv)
+        prevCommittedAt = cur.committedAt.getOrElse(0L)
         if (fence && next.epochId >= 0 && next.epochId <= cur.epochId) return false // replayed epoch: no-op
         // a version at or below the current one means another writer
         // committed since this snapshot was read — that's the optimistic-
@@ -251,8 +253,16 @@ object lake {
       val tmp = metaDir.resolve(s".tmp-${UUID.randomUUID()}.json")
       // stamp the commit wall-clock and normalize the format version: chunked
       // manifests are a format-2 feature, and bumping ONLY when they appear
-      // keeps pure-inline tables readable by format-1 readers forever
-      val stamped = next.copy(committedAt = Some(System.currentTimeMillis()),
+      // keeps pure-inline tables readable by format-1 readers forever.
+      // The stamp is MONOTONICIZED against the previous snapshot's (Delta's
+      // in-commit-timestamp approach): a wall-clock regression or a second
+      // writer host with clock skew can otherwise stamp v+1 before v, which
+      // would make TIMESTAMP AS OF resolve the wrong snapshot (versionAt
+      // scans newest-first assuming monotone stamps) — and the strict +1
+      // also guarantees consecutive same-millisecond commits stay
+      // distinguishable by timestamp.
+      val stamped = next.copy(
+        committedAt = Some(math.max(System.currentTimeMillis(), prevCommittedAt + 1)),
         formatVersion = if (next.manifests.nonEmpty) 2 else next.formatVersion)
       Files.writeString(tmp, Serialization.write(stamped))
       // Claim the manifest name with fail-if-exists semantics: a hard link is
@@ -1114,9 +1124,11 @@ object lake {
       * for any timestamp. Throws if the timestamp predates every retained
       * snapshot. */
     def versionAt(tsMillis: Long): Long = {
-      // committedAt is monotone in version (commits serialize), so scan
-      // newest-first and stop at the first eligible snapshot — O(versions
-      // newer than ts) manifest parses, not O(all retained versions)
+      // committedAt is monotone in version BY CONSTRUCTION (commit()
+      // monotonicizes each stamp against its predecessor's, never trusting
+      // the wall clock alone), so scan newest-first and stop at the first
+      // eligible snapshot — O(versions newer than ts) manifest parses, not
+      // O(all retained versions)
       history().reverseIterator
         .find(v => snapshotAt(v).committedAt.getOrElse(0L) <= tsMillis)
         .getOrElse(throw new IllegalArgumentException(

@@ -24,8 +24,16 @@ final class MaxByRowBuffer(var ord: Long, var value: InternalRow) extends Serial
   * the shuffle), no sorts, graceful sort-based fallback if a partition's group
   * count exceeds spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
   *
-  * Restriction: ordering key must be LongType (the CDC LSN) — all this engine
-  * needs; ties keep the first-seen value (LSNs are unique by contract).
+  * Restriction: ordering key must be LongType (the CDC LSN).
+  *
+  * Tie-break: since the row-LSN change, equal ordering keys ARE reachable —
+  * a base row re-entering a merge at its stored `_lsn` ties a redelivered
+  * event carrying that same LSN (same event, so the payloads are identical;
+  * only the metadata op differs: null for the base row, 'U' for the event).
+  * First-seen resolution would be partition-order-dependent, so ties resolve
+  * DETERMINISTICALLY by the serialized row bytes (larger wins) — plan-stable
+  * under any input order, and semantically neutral because reachable ties
+  * are payload-identical by the LSN-uniqueness contract.
   */
 case class MaxByRow(
     valueExpr: Expression,
@@ -55,6 +63,22 @@ case class MaxByRow(
 
   override def createAggregationBuffer(): MaxByRowBuffer = new MaxByRowBuffer(Long.MinValue, null)
 
+  /** Deterministic tie-break: unsigned lexicographic compare of the two
+    * UnsafeRows' bytes (buffers only ever hold UnsafeRows — see update/
+    * deserialize). Rare path: runs only when ordering keys collide. */
+  private def bytesGreater(a: InternalRow, b: InternalRow): Boolean = {
+    val ab = a.asInstanceOf[UnsafeRow].getBytes
+    val bb = b.asInstanceOf[UnsafeRow].getBytes
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d > 0
+      i += 1
+    }
+    ab.length > bb.length
+  }
+
   override def update(b: MaxByRowBuffer, input: InternalRow): MaxByRowBuffer = {
     val o = ordExpr.eval(input)
     if (o != null) {
@@ -66,13 +90,22 @@ case class MaxByRow(
         // reused input buffer; project to UnsafeRow (serializes field bytes)
         // then copy to detach from the projection's reused output buffer
         b.value = if (v == null) null else ser(v.asInstanceOf[InternalRow]).copy()
+      } else if (ord == b.ord) {
+        val v = valueExpr.eval(input)
+        if (v != null) {
+          val cand = ser(v.asInstanceOf[InternalRow])
+          if (bytesGreater(cand, b.value)) b.value = cand.copy()
+        }
       }
     }
     b
   }
 
   override def merge(b: MaxByRowBuffer, o: MaxByRowBuffer): MaxByRowBuffer = {
-    if (o.value != null && (b.value == null || o.ord > b.ord)) { b.ord = o.ord; b.value = o.value }
+    if (o.value != null && (b.value == null || o.ord > b.ord ||
+        (o.ord == b.ord && bytesGreater(o.value, b.value)))) {
+      b.ord = o.ord; b.value = o.value
+    }
     b
   }
 

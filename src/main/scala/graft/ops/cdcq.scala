@@ -457,9 +457,12 @@ object cdcq {
     val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
     val ts = LakeTable.load(spark, s"$wh/db/repo_files", "repo_files")
       .snapshotAt(1L).committedAt.getOrElse(sys.error("commits must be stamped"))
-    // session tz is UTC (Verify/Bench/test sessions): render millis as a UTC literal
+    // Spark parses the TIMESTAMP AS OF literal in the SESSION time zone, so
+    // render the commit millis in that zone (hard-coding UTC would pin a
+    // shifted instant in any non-UTC session)
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
     spark.sql(
       s"""SELECT 'ts_mid' AS label, count(*) AS n
           FROM $cat.db.repo_files TIMESTAMP AS OF '${fmt.format(new java.util.Date(ts))}'

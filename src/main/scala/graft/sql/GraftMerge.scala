@@ -310,7 +310,18 @@ case class GraftMergeCommand(
     // watermark: by the Snapshot.lsnHigh invariant every stored row _lsn
     // is <= lsnHigh, so lsnHigh + 1 outranks every existing row and the
     // batch wins per key (multiple source rows per key is undefined under
-    // SQL MERGE anyway)
+    // SQL MERGE anyway).
+    //
+    // CONTRACT (mixing ad-hoc SQL with a live binlog tail): this stamp
+    // extends the table's LSN domain past the upstream binlog position, so a
+    // later CDC epoch whose genuine events carry exactly these next
+    // positions would tie the ad-hoc rows instead of outranking them. A
+    // binlog tail that interleaves with ad-hoc row-level SQL must therefore
+    // keep its LSNs ABOVE the table's lsnHigh (re-read it after ad-hoc
+    // writes) — the same "one log, one ordering" rule every LSN-resolved
+    // store imposes. Stamping ad-hoc writes in a disjoint high range was
+    // considered and rejected: rows parked at 2^62 would outrank every
+    // FUTURE genuine event, silently freezing those keys.
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
     val payload = snap.schema.fieldNames.toSeq
     val batch = kept.select(

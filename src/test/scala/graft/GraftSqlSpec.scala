@@ -169,9 +169,10 @@ class GraftSqlSpec extends SparkSuite {
     val ts1 = LakeTable.load(spark, root, "t").snapshot.committedAt.get
     Thread.sleep(20)
     spark.sql(s"INSERT INTO $cat.db.t VALUES ('b','2')")
-    // session tz is UTC; format ts1 (millis) as a UTC timestamp literal
+    // the literal is parsed in the SESSION time zone — format in it
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
     val lit1 = fmt.format(new java.util.Date(ts1))
     assert(spark.sql(s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '$lit1'").count() == 1,
       "the as-of read must see exactly the first insert's snapshot")
