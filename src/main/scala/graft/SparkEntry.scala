@@ -86,6 +86,8 @@ object SparkEntry {
     "q39b_sql_timetravel" -> (cdcq.sqlTimeTravel _),
     "q39c_sql_timetravel_ts" -> (cdcq.sqlTimeTravelTs _),
     "q39d_sql_rowlevel" -> (cdcq.sqlRowLevel _),
+    "q39e_sql_merge_partial" -> (cdcq.sqlMergePartialSet _),
+    "q39f_sql_merge_fullsync" -> (cdcq.sqlMergeFullSync _),
     "q41_stream_replay" -> (cdcq.streamReplay _),
   )
 
@@ -550,6 +552,21 @@ object SparkEntry {
                       CASE WHEN value < 1.0 THEN 'flagged' ELSE event_type END AS event_type,
                       value FROM c)
          SELECT user_id, event_type, value FROM u WHERE event_type <> 'error'
+         ORDER BY user_id""",
+    "q39e_sql_merge_partial" ->
+      """WITH c AS (SELECT user_id, event_type, value FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         m AS (SELECT user_id, max(value) AS maxv FROM events GROUP BY user_id)
+         SELECT c.user_id,
+                CASE WHEN m.maxv >= 220.0 THEN c.event_type || ':hot' ELSE c.event_type END AS event_type,
+                CASE WHEN m.maxv >= 220.0 THEN c.value + m.maxv ELSE c.value END AS value
+         FROM c JOIN m ON c.user_id = m.user_id
+         ORDER BY c.user_id""",
+    "q39f_sql_merge_fullsync" ->
+      """WITH c AS (SELECT user_id, event_type, value FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT user_id, event_type, value + 1000.0 AS value
+         FROM c WHERE user_id % 2 = 0 AND event_type <> 'error'
          ORDER BY user_id""",
     "q31_cdc_schema_evolution" ->
       """WITH c AS (SELECT * FROM events

@@ -437,6 +437,80 @@ object cdcq {
     spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
   }
 
+  /** SQL MERGE with a partial `SET` list (the most common real-world MERGE
+    * shape after `SET *`): latest-per-user state is INSERTed into a catalog
+    * table, then a conditional `WHEN MATCHED AND s.maxv >= 90 THEN UPDATE
+    * SET ...` merge applies per-column assignments that mix TARGET and
+    * SOURCE references — non-assigned columns keep the target row's values
+    * (ANSI), rows failing the leg condition are untouched, and the
+    * update-only merge has NO insert leg (its slim aggregate source carries
+    * only the key + referenced columns). The oracle re-derives the same
+    * flag-and-add pipeline relationally. */
+  def sqlMergePartialSet(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gmp${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-mpartial").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
+          TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    val latest = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"), col("e.value").as("value"))
+    latest.writeTo(s"$cat.db.users").append()
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(max(col("value")).as("maxv"))
+      .createOrReplaceTempView(s"user_stats_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.db.users t
+          USING user_stats_$cat s
+          ON t.user_id = s.user_id
+          WHEN MATCHED AND s.maxv >= 220.0 THEN
+            UPDATE SET event_type = concat(t.event_type, ':hot'), value = t.value + s.maxv""")
+    spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
+  }
+
+  /** SQL MERGE with the ANSI third leg (`WHEN NOT MATCHED BY SOURCE THEN
+    * DELETE`) — the full-sync pattern: a users table seeded with EVERY
+    * user's latest state is synced to a source carrying only even-id
+    * non-error users, so matched users update, absent target users (odd ids
+    * and error-latest) are tombstoned through the same merge kernel. The
+    * oracle re-derives the synced state relationally. */
+  def sqlMergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gfs${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-fullsync").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
+          TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    val latest = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"), col("e.value").as("value"))
+    latest.writeTo(s"$cat.db.users").append()
+    latest.filter(col("user_id") % 2 === 0 && col("event_type") =!= "error")
+      .withColumn("value", col("value") + 1000.0)
+      .createOrReplaceTempView(s"sync_src_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.db.users t
+          USING sync_src_$cat s
+          ON t.user_id = s.user_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
+  }
+
   /** SQL time travel over the merged table: `VERSION AS OF 1` = the state
     * after the first MERGE (v0 is the empty create), current = after both. */
   def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {

@@ -26,29 +26,39 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Supported MERGE shape = the reference DeltaWriter contract
   * (/root/reference/src/models/writer.py:22-67: PK-equality condition built
   * from the table's primary key, whenMatchedUpdateAll / whenNotMatchedInsertAll,
-  * plus this engine's delete extension):
+  * plus this engine's delete extension and ANSI partial `SET` lists):
   *
   * {{{
   *   MERGE INTO g.db.t t USING src s
   *   ON t.k1 = s.k1 AND t.k2 = s.k2          -- exactly the table's PK
   *   [WHEN MATCHED AND <cond-over-s> THEN DELETE]
-  *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED [AND <cond-over-s>] THEN INSERT *
+  *   WHEN MATCHED [AND <cond>] THEN UPDATE SET *            -- update-all
+  *     | WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...  -- partial
+  *   [WHEN NOT MATCHED [AND <cond-over-s>] THEN INSERT *]
   * }}}
   *
-  * The leg conditions must reference SOURCE columns only (the CDC shape —
-  * e.g. `s.op = 'delete'`); target-side or unqualified references fall
-  * through rather than silently rebinding. ANSI matched/not-matched
-  * semantics are preserved: the DELETE leg applies only to keys PRESENT in
-  * the target (a source "delete" for an absent key falls to the NOT MATCHED
-  * leg and inserts unless the insert condition excludes it — write
-  * `WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT *` for tombstone
-  * streams).
+  * The DELETE/INSERT leg conditions must reference SOURCE columns only (the
+  * CDC shape — e.g. `s.op = 'delete'`); target-side or unqualified
+  * references fall through rather than silently rebinding. The UPDATE leg's
+  * condition and partial-`SET` expressions may reference BOTH sides
+  * (`SET n = t.n + s.delta`): references are classified per attribute —
+  * alias-qualified, or unqualified when the name lives on exactly one side
+  * (ambiguous/unknown names fall through). Non-assigned columns keep the
+  * TARGET row's values (ANSI), fetched by the matched-ness probe join.
+  * Primary-key columns are never assignable (a keyed merge cannot express a
+  * PK rewrite) — except the no-op identity `SET k = s.k` that `SET *`
+  * expansion produces, which is dropped (the ON clause already equates it).
+  * ANSI matched/not-matched semantics are preserved: the DELETE leg applies
+  * only to keys PRESENT in the target (a source "delete" for an absent key
+  * falls to the NOT MATCHED leg and inserts unless the insert condition
+  * excludes it — write `WHEN NOT MATCHED AND s.op <> 'delete' THEN INSERT *`
+  * for tombstone streams), and a matched row passing neither the DELETE nor
+  * the UPDATE condition is left untouched.
   *
-  * Any other form (partial SET lists, non-PK or tautological conditions,
-  * NOT MATCHED BY SOURCE) falls through to Spark's built-in path, whose
-  * error message names the unsupported feature. Register via
-  * `spark.sql.extensions = graft.sql.GraftExtensions`.
+  * Any other form (PK assignments, ambiguous references, non-PK or
+  * tautological ON conditions, NOT MATCHED BY SOURCE) falls through to
+  * Spark's built-in path, whose error message names the unsupported
+  * feature. Register via `spark.sql.extensions = graft.sql.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -67,15 +77,27 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, notMatchedBySource, _)
-        if source.resolved && notMatchedBySource.isEmpty =>
+        if source.resolved =>
       graftTarget(target) match {
         case Some(gt) =>
-          val keys = gt.table.snapshot.keyColumns
-          (keyEquality(cond, keys), classify(matched), classifyInsert(notMatched)) match {
-            case (true, Some(deleteCond), Some(insertCond))
+          val snap = gt.table.snapshot
+          val keys = snap.keyColumns
+          val tgtCols = snap.schema.fieldNames.map(_.toLowerCase).toSet
+          // the partial-update path renames probed target columns under
+          // TgtPrefix — a real column or source output already under it
+          // would collide, so such (contrived) schemas fall through
+          val prefixClash = snap.schema.fieldNames.exists(_.startsWith(TgtPrefix)) ||
+            source.output.exists(_.name.startsWith(TgtPrefix))
+          val canon = canonicalizer(target, tgtCols, source)
+          (keyEquality(cond, keys), classifyMatched(matched, keys, tgtCols, canon),
+            classifyInsert(notMatched),
+            classifyBySource(notMatchedBySource, target, tgtCols, source)) match {
+            case (true, Some((deleteCond, matchedUpdate)), Some(insertCond), Some(bySourceDelete))
                 if deleteCond.forall(sourceOnly(_, source)) &&
-                  insertCond.forall(sourceOnly(_, source)) =>
-              GraftMergeCommand(gt, source, deleteCond, insertCond)
+                  insertCond.forall(sourceOnly(_, source)) &&
+                  !(matchedUpdate.isDefined && prefixClash) =>
+              GraftMergeCommand(gt, source, deleteCond, insertCond, matchedUpdate,
+                hasInsert = notMatched.nonEmpty, bySourceDelete = bySourceDelete)
             case _ => m // unsupported shape: let Spark's path report it
           }
         case None => m
@@ -193,25 +215,167 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** matched actions: one unconditional UPDATE SET * and at most one DELETE
-    * (its condition, over source columns, becomes the op discriminator).
-    * Returns None when the shape is unsupported. */
-  private def classify(matched: Seq[MergeAction]): Option[Option[Expression]] = matched match {
-    case Seq(u) if isUpdateAll(u) => Some(None)
-    case Seq(DeleteAction(c), u) if isUpdateAll(u) =>
-      Some(Some(c.getOrElse(Bridge.expression(lit(true)))))
-    case Seq(u, DeleteAction(c)) if isUpdateAll(u) =>
-      Some(Some(c.getOrElse(Bridge.expression(lit(false)))))
-    case _ => None
+  /** Prefix under which the matched-ness probe exposes TARGET payload
+    * columns to canonicalized partial-update expressions. */
+  val TgtPrefix = "_graft_t_"
+
+  /** Build the two-sided reference canonicalizer for UPDATE-leg expressions:
+    * source refs become plain single-part names (they resolve against the
+    * probe-joined source columns), target refs become `TgtPrefix<name>`
+    * (the probe join exposes target payload under that prefix). Returns
+    * None when any reference is ambiguous (unqualified name on both sides)
+    * or unknown — those shapes fall through to Spark's error instead of
+    * silently picking a side. */
+  private def canonicalizer(target: LogicalPlan, tgtCols: Set[String],
+      source: LogicalPlan): Expression => Option[Expression] = {
+    val tgtAlias = target match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case _ => None
+    }
+    val srcAlias = source match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case _ => None
+    }
+    val srcCols = source.output.map(_.name.toLowerCase).toSet
+    (e: Expression) => {
+      var ok = true
+      val out = e.transformUp {
+        case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+          val q = u.nameParts.init.mkString(".").toLowerCase
+          val n = u.nameParts.last
+          if (srcAlias.contains(q) && srcCols(n.toLowerCase)) UnresolvedAttribute(Seq(n))
+          else if (tgtAlias.contains(q) && tgtCols(n.toLowerCase))
+            UnresolvedAttribute(Seq(TgtPrefix + n))
+          else { ok = false; u }
+        case u: UnresolvedAttribute =>
+          val n = u.nameParts.head
+          val inS = srcCols(n.toLowerCase)
+          val inT = tgtCols(n.toLowerCase)
+          if (inS && !inT) u
+          else if (inT && !inS) UnresolvedAttribute(Seq(TgtPrefix + n))
+          else { ok = false; u }
+        case a: AttributeReference =>
+          if (source.outputSet.contains(a)) UnresolvedAttribute(Seq(a.name))
+          else if (tgtCols(a.name.toLowerCase)) UnresolvedAttribute(Seq(TgtPrefix + a.name))
+          else { ok = false; a }
+      }
+      if (ok && noSubquery(e)) Some(out) else None
+    }
+  }
+
+  /** A supported partial-`SET` matched update: canonicalized per-column
+    * assignments (lowercase target column -> expression) and an optional
+    * canonicalized leg condition. */
+  final case class PartialUpdateSpec(
+      assignments: Seq[(String, Expression)],
+      condition: Option[Expression])
+
+  /** matched actions -> (delete condition, partial-update spec). The delete
+    * condition (over source columns) is the op discriminator; a None spec
+    * means unconditional UPDATE SET * (payload taken wholly from the
+    * source, no target payload fetch). Returns None when the shape is
+    * unsupported. */
+  private def classifyMatched(matched: Seq[MergeAction], keys: Seq[String],
+      tgtCols: Set[String], canon: Expression => Option[Expression])
+      : Option[(Option[Expression], Option[PartialUpdateSpec])] = {
+    val keySet = keys.map(_.toLowerCase).toSet
+
+    // a conditional `SET *` lowers through the partial path with synthesized
+    // all-source assignments (already canonical: plain names = source side)
+    def partial(assigns: Seq[Assignment], cond: Option[Expression])
+        : Option[PartialUpdateSpec] = {
+      val named = assigns.map { a =>
+        (nameOf(a.key), canon(a.value)) match {
+          case (Some(k), Some(v)) if tgtCols(k) => Some(k -> v)
+          case _ => None
+        }
+      }
+      if (named.exists(_.isEmpty)) return None
+      // drop the no-op identity key assignments SET * expansion produces
+      // (`t.k := s.k` — the ON clause already equates them); any OTHER
+      // primary-key assignment is a PK rewrite the keyed merge can't express
+      val (keyAssigns, valueAssigns) = named.flatten.partition { case (k, _) => keySet(k) }
+      val keyIdentity = keyAssigns.forall {
+        case (k, UnresolvedAttribute(Seq(n))) => n.toLowerCase == k
+        case _ => false
+      }
+      val condC = cond.map(canon)
+      if (!keyIdentity || valueAssigns.isEmpty || condC.exists(_.isEmpty)) None
+      else Some(PartialUpdateSpec(valueAssigns, condC.flatten))
+    }
+    def sourceAll(cond: Expression): Option[PartialUpdateSpec] =
+      canon(cond).map(c => PartialUpdateSpec(
+        (tgtCols -- keySet).toSeq.sorted.map(n => n -> UnresolvedAttribute(Seq(n))), Some(c)))
+
+    matched match {
+      // no matched legs at all (e.g. insert-only or NOT-MATCHED-BY-SOURCE-
+      // only MERGE): matched rows are ANSI-untouched — an always-false
+      // partial update drops them from the change batch
+      case Seq() => Some((None,
+        Some(PartialUpdateSpec(Nil, Some(Bridge.expression(lit(false)))))))
+      case Seq(u) if isUpdateAll(u) => Some((None, None))
+      case Seq(DeleteAction(c), u) if isUpdateAll(u) =>
+        Some((Some(c.getOrElse(Bridge.expression(lit(true)))), None))
+      case Seq(u, DeleteAction(c)) if isUpdateAll(u) =>
+        Some((Some(c.getOrElse(Bridge.expression(lit(false)))), None))
+      case Seq(UpdateStarAction(Some(c))) => sourceAll(c).map(p => (None, Some(p)))
+      case Seq(UpdateAction(cond, assigns, _)) =>
+        partial(assigns, cond).map(p => (None, Some(p)))
+      case Seq(DeleteAction(c), UpdateStarAction(Some(c2))) =>
+        sourceAll(c2).map(p => (Some(c.getOrElse(Bridge.expression(lit(true)))), Some(p)))
+      case Seq(DeleteAction(c), UpdateAction(cond, assigns, _)) =>
+        partial(assigns, cond).map(p =>
+          (Some(c.getOrElse(Bridge.expression(lit(true)))), Some(p)))
+      case _ => None
+    }
   }
 
   /** not-matched actions: one INSERT * with an optional (source-only)
-    * condition. Some(None) = unconditional, Some(Some(c)) = conditional,
+    * condition, or NO insert leg at all (update/delete-only MERGE — lowered
+    * as an always-false insert condition, so unmatched source rows drop).
+    * Some(None) = unconditional, Some(Some(c)) = conditional/none,
     * None = unsupported shape. */
   private def classifyInsert(notMatched: Seq[MergeAction]): Option[Option[Expression]] =
     notMatched match {
+      case Seq() => Some(Some(Bridge.expression(lit(false))))
       case Seq(InsertStarAction(c)) => Some(c)
       case Seq(InsertAction(c, assigns)) if isIdentity(assigns) => Some(c)
+      case _ => None
+    }
+
+  /** The condition of a NOT MATCHED BY SOURCE leg may reference TARGET
+    * columns only (there is no source row for such a key): qualified refs
+    * must carry the target alias, unqualified names must be table columns,
+    * and resolved attributes must not come from the source. */
+  private def targetOnly(cond: Expression, target: LogicalPlan, tgtCols: Set[String],
+      source: LogicalPlan): Boolean = {
+    val tgtAlias = target match {
+      case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
+      case _ => None
+    }
+    def ok(e: Expression): Boolean = e match {
+      case u: UnresolvedAttribute if u.nameParts.length > 1 =>
+        tgtAlias.contains(u.nameParts.init.mkString(".").toLowerCase) &&
+          tgtCols(u.nameParts.last.toLowerCase)
+      case u: UnresolvedAttribute => tgtCols(u.nameParts.head.toLowerCase)
+      case a: AttributeReference =>
+        !source.outputSet.contains(a) && tgtCols(a.name.toLowerCase)
+      case other => other.children.forall(ok)
+    }
+    ok(cond) && noSubquery(cond)
+  }
+
+  /** NOT MATCHED BY SOURCE legs: absent, or exactly one DELETE with an
+    * optional target-only condition — the ANSI "full sync" third leg
+    * (target keys the source doesn't carry are tombstoned). Some(None) =
+    * no leg, Some(Some(condOpt)) = delete leg, None = unsupported
+    * (UPDATE-by-source still falls through to Spark's error). */
+  private def classifyBySource(bySource: Seq[MergeAction], target: LogicalPlan,
+      tgtCols: Set[String], source: LogicalPlan): Option[Option[Option[Expression]]] =
+    bySource match {
+      case Seq() => Some(None)
+      case Seq(DeleteAction(c)) if c.forall(targetOnly(_, target, tgtCols, source)) =>
+        Some(Some(c))
       case _ => None
     }
 }
@@ -234,7 +398,10 @@ case class GraftMergeCommand(
     @transient graftTable: GraftTable,
     source: LogicalPlan,
     deleteCondition: Option[Expression],
-    insertCondition: Option[Expression]) extends RunnableCommand {
+    insertCondition: Option[Expression],
+    matchedUpdate: Option[GraftMergeRewrite.PartialUpdateSpec] = None,
+    hasInsert: Boolean = true,
+    bySourceDelete: Option[Option[Expression]] = None) extends RunnableCommand {
 
   override def children: Seq[LogicalPlan] = Seq(source)
 
@@ -268,11 +435,20 @@ case class GraftMergeCommand(
     // bucket-pruned left join against the target's key columns (unique by
     // the merge invariant) decides per source row; skipped entirely when
     // both legs are unconditional (then MERGE ≡ plain upsert and
-    // matched-ness is irrelevant). The flag column name is salted so a
-    // source that legitimately carries a `_matched` column can never make
-    // the join ambiguous or rebind the coalesce.
-    val needMatch = deleteCondition.isDefined || insertCondition.isDefined
+    // matched-ness is irrelevant). A partial-SET update additionally makes
+    // the probe fetch the target PAYLOAD (renamed under TgtPrefix): ANSI
+    // keeps non-assigned columns at the target row's values, and assignment
+    // expressions may reference `t.<col>`. The flag column name is salted
+    // so a source that legitimately carries a `_matched` column can never
+    // make the join ambiguous or rebind the coalesce.
+    val needMatch =
+      deleteCondition.isDefined || insertCondition.isDefined || matchedUpdate.isDefined
     val matchedCol = s"_matched_${java.util.UUID.randomUUID().toString.take(8)}"
+    val nonKey = snap.schema.fields.toSeq.filterNot(f => keys.contains(f.name))
+    val keyTypes = snap.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val castKeys = keys.map(k =>
+      keyTypes.get(k.toLowerCase).map(col(k).cast(_)).getOrElse(col(k)).as(k))
     val flagged =
       if (!needMatch) src.withColumn(matchedCol, lit(true))
       else {
@@ -282,10 +458,6 @@ case class GraftMergeCommand(
         // 100 TB envelope a sparse MERGE batch probes a few buckets' files,
         // never the whole table. (The source plan runs once more here; a
         // MERGE source is batch-sized by contract, the target is not.)
-        val keyTypes = snap.schema.fields
-          .map(f => f.name.toLowerCase -> f.dataType).toMap
-        val castKeys = keys.map(k =>
-          keyTypes.get(k.toLowerCase).map(col(k).cast(_)).getOrElse(col(k)).as(k))
         val touched = src.select(castKeys: _*)
           .select(table.bucketExpr(snap).as("_b")).distinct()
           .collect().map(_.getInt(0)).toSet
@@ -295,16 +467,22 @@ case class GraftMergeCommand(
         // pruned probe exists to avoid)
         GraftMergeCommand.lastProbe.set(Some(
           (probeFiles.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))
+        val probeCols = keys.map(col) ++ (if (matchedUpdate.isEmpty) Nil
+          else nonKey.map(f => col(f.name).as(GraftMergeRewrite.TgtPrefix + f.name)))
         val tgtKeys = table.readBuckets(snap, Some(touched))
-          .select(keys.map(col): _*).withColumn(matchedCol, lit(true))
+          .select(probeCols: _*).withColumn(matchedCol, lit(true))
         src.join(tgtKeys, keys, "left")
           .withColumn(matchedCol, coalesce(col(matchedCol), lit(false)))
       }
     val delC = deleteCondition.map(byName).getOrElse(lit(false))
     val insC = insertCondition.map(byName).getOrElse(lit(true))
-    // matched rows always participate (update or delete); unmatched rows
-    // only when the insert condition admits them
-    val kept = flagged.filter(col(matchedCol) || insC)
+    // canonicalized (probe-ready) update condition — true when absent
+    val updC = matchedUpdate.flatMap(_.condition).map(Bridge.column).getOrElse(lit(true))
+    // matched rows participate when the delete leg OR the update condition
+    // admits them (a matched row passing neither is ANSI-untouched);
+    // unmatched rows only when the insert condition admits them
+    val kept = flagged.filter(
+      (col(matchedCol) && (delC || updC)) || (!col(matchedCol) && insC))
     val opCol = when(col(matchedCol) && delC, "D").otherwise("U")
     // all rows of one SQL MERGE share one LSN above the committed
     // watermark: by the Snapshot.lsnHigh invariant every stored row _lsn
@@ -323,10 +501,52 @@ case class GraftMergeCommand(
     // considered and rejected: rows parked at 2^62 would outrank every
     // FUTURE genuine event, silently freezing those keys.
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
-    val payload = snap.schema.fieldNames.toSeq
+    val payloadCols: Seq[org.apache.spark.sql.Column] = matchedUpdate match {
+      case None => snap.schema.fieldNames.toSeq.map(col)
+      case Some(pu) =>
+        // partial SET: matched rows emit the TARGET row with assignments
+        // applied over it (ANSI — non-assigned columns keep target values);
+        // unmatched inserts take the source's columns; a D row's payload is
+        // irrelevant (the merge drops delete winners before writing)
+        val assigned = pu.assignments.toMap
+        snap.schema.fields.toSeq.map { f =>
+          if (keys.contains(f.name)) col(f.name)
+          else {
+            val updVal = assigned.get(f.name.toLowerCase)
+              .map(e => Bridge.column(e).cast(f.dataType))
+              .getOrElse(col(GraftMergeRewrite.TgtPrefix + f.name))
+            // without an INSERT leg the unmatched branch is filtered out
+            // before this projection, so a slim source (keys + referenced
+            // columns only) needs no full payload — typed nulls keep the
+            // dead branch resolvable; WITH an insert leg the source must
+            // carry every column, as ANSI INSERT * requires
+            val insVal = if (hasInsert) col(f.name) else lit(null).cast(f.dataType)
+            when(col(matchedCol) && !delC, updVal).otherwise(insVal).as(f.name)
+          }
+        }
+    }
     val batch = kept.select(
-      (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payload.map(col)): _*)
-    table.merge(batch, epochId = -1L)
+      (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payloadCols): _*)
+    // NOT MATCHED BY SOURCE THEN DELETE: tombstone every (condition-passing)
+    // target key the source does NOT carry. The semantics quantify over the
+    // whole target, so a full key scan is inherent — but it stays NARROW
+    // (keys + condition columns; tombstone payload is typed nulls, dropped
+    // by the merge before writing) and the derived set is persisted so the
+    // merge's two consumers don't re-run the anti-join.
+    val tombstones = bySourceDelete.map { condOpt =>
+      val tgt = table.readBuckets(snap, None)
+      val filtered = condOpt.map(c => tgt.filter(GraftRowLevel.byName(c))).getOrElse(tgt)
+      filtered
+        .join(src.select(castKeys: _*), keys, "left_anti")
+        .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++
+          snap.schema.fields.toSeq.map { f =>
+            if (keys.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try table.merge(tombstones.map(batch.unionByName(_)).getOrElse(batch), epochId = -1L)
+    finally tombstones.foreach(_.unpersist(blocking = false))
     Nil
   }
 }
@@ -347,8 +567,17 @@ private[sql] object GraftRowLevel {
   * matching the predicate re-emit as op='D' change events at one ad-hoc LSN
   * above the committed high-watermark, applied through [[graft.cdc.lake]]'s
   * `LakeTable.merge` — the same fenced CoW kernel as every other write.
-  * Scale shape: the predicate pushes into the target's parquet scan, and the
-  * merge's sparse path rewrites only the buckets holding matching keys. */
+  *
+  * Scale shape: a tombstone needs only its KEY (the merge drops D winners
+  * before any payload is written), so the non-key payload is stamped NULL —
+  * the derivation scan column-prunes to keys + predicate columns and a
+  * 100 TB DELETE never reads the wide content column (on CoW tables; a MoR
+  * table's outstanding-delta resolution still materializes the payload).
+  * The derived batch is persisted so the predicate scan runs ONCE even
+  * though merge consumes it twice (stats pre-pass + union/write) — the
+  * cached tombstones are (keys, lsn, op)-narrow, so the footprint is
+  * O(matched keys), and the merge's sparse path then rewrites only the
+  * buckets holding matching keys. */
 case class GraftDeleteCommand(
     @transient graftTable: GraftTable,
     condition: Expression) extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
@@ -357,19 +586,29 @@ case class GraftDeleteCommand(
     val table = graftTable.table
     val snap = table.snapshot
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
-    val payload = snap.schema.fieldNames.toSeq
+    val keys = snap.keyColumns.map(_.toLowerCase).toSet
     val batch = table.readBuckets(snap, None)
       .filter(GraftRowLevel.byName(condition))
-      .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++ payload.map(col)): _*)
-    table.merge(batch, epochId = -1L)
-    Nil
+      .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++
+        snap.schema.fields.toSeq.map { f =>
+          if (keys(f.name.toLowerCase)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { table.merge(batch, epochId = -1L); Nil }
+    finally { batch.unpersist(blocking = false); () }
   }
 }
 
 /** SQL `UPDATE` lowered onto the merge kernel: matching target rows re-emit
   * as op='U' events with the SET assignments applied (primary-key columns
   * are never assignable — the rewrite rule falls through to Spark's error
-  * for those). Same scan/rewrite scale shape as [[GraftDeleteCommand]]. */
+  * for those). The derived batch is persisted exactly like
+  * [[GraftMergeCommand]]'s source — merge consumes it in the narrow stats
+  * pre-pass AND the union/write, so without the cache an
+  * `UPDATE ... WHERE v < 1` pays a second full predicate scan of the table.
+  * The cache is O(matched rows) and spills to disk; the merge's sparse path
+  * then rewrites only the buckets holding matched keys. */
 case class GraftUpdateCommand(
     @transient graftTable: GraftTable,
     assignments: Seq[(String, Expression)],
@@ -387,7 +626,8 @@ case class GraftUpdateCommand(
         assigned.get(f.name.toLowerCase)
           .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
       }): _*)
-    table.merge(batch, epochId = -1L)
-    Nil
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { table.merge(batch, epochId = -1L); Nil }
+    finally { batch.unpersist(blocking = false); () }
   }
 }

@@ -85,9 +85,16 @@ class GraftSqlSpec extends SparkSuite {
       val e = intercept[Exception] { spark.sql(sql) }
       assert(e.getMessage.contains("MERGE INTO TABLE"), e.getMessage)
     }
-    // partial SET list is NOT the reference merge contract -> built-in path
+    // a PK assignment is a key rewrite no keyed merge can express
     refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
-                WHEN MATCHED THEN UPDATE SET t.v = 'zz'""")
+                WHEN MATCHED THEN UPDATE SET t.k = 'zz'""")
+    // an unqualified SET value living on BOTH sides is ambiguous — refused
+    // (falls through to Spark, whose resolver names the ambiguity)
+    val amb = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
+                    WHEN MATCHED THEN UPDATE SET t.v = v""")
+    }
+    assert(amb.getMessage.contains("AMBIGUOUS_REFERENCE"), amb.getMessage)
     // non-PK condition likewise
     refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.v = s.v
                 WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
@@ -100,6 +107,107 @@ class GraftSqlSpec extends SparkSuite {
     refused(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k, 'v' v) s ON t.k = s.k
                 WHEN MATCHED AND t.v = 'x' THEN DELETE
                 WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+  }
+
+  test("SQL MERGE partial SET: two-sided expressions, leg condition, untouched non-passers") {
+    val cat = freshCatalog("mpartial")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2),('c','x',3)")
+    // conditional partial update: only s.n >= 20 rows change; the assigned
+    // column mixes target + source refs; non-assigned `kind` keeps the
+    // TARGET value (ANSI); absent key 'z' takes the INSERT leg
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'ign' kind, CAST(10 AS BIGINT) n
+                 UNION ALL SELECT 'c', 'ign', 20
+                 UNION ALL SELECT 'z', 'fresh', 30) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.n >= 20 THEN UPDATE SET n = t.n + s.n
+          WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "x", 1L), ("b", "y", 2L), ("c", "x", 23L), ("z", "fresh", 30L)),
+      s"got $got")
+    // update-only MERGE (no insert leg): unmatched source rows are dropped;
+    // unconditional partial update touches every matched key
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'b' k UNION ALL SELECT 'nope') s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET kind = concat(t.kind, '+')""")
+    val kinds = spark.sql(s"SELECT k, kind FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(kinds == Seq("a" -> "x", "b" -> "y+", "c" -> "x", "z" -> "fresh"), s"got $kinds")
+    // DELETE leg + partial update coexist
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'D' tag, CAST(0 AS BIGINT) d
+                 UNION ALL SELECT 'c', 'U', 100) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.tag = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n = s.d""")
+    val after = spark.sql(s"SELECT k, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(after == Seq("b" -> 2L, "c" -> 100L, "z" -> 30L), s"got $after")
+    // conditional SET * lowers through the same path (all-source payload)
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'b' k, 'star' kind, CAST(77 AS BIGINT) n) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.n > 5 THEN UPDATE SET *""")
+    val b = spark.sql(s"SELECT kind, n FROM $cat.db.t WHERE k = 'b'").collect()(0)
+    assert(b.getString(0) == "star" && b.getLong(1) == 77L)
+  }
+
+  test("SQL MERGE NOT MATCHED BY SOURCE: full-sync + conditional + standalone delete leg") {
+    val cat = freshCatalog("mnmbs")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, v BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','keep',1),('b','old',2),('c','old',3),('d','keep',4)")
+    // the classic full-sync shape: update existing, insert new, delete absent
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'upd' kind, CAST(10 AS BIGINT) v
+                 UNION ALL SELECT 'e', 'new', 50) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val sync = spark.sql(s"SELECT k, kind, v FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sync == Seq(("a", "upd", 10L), ("e", "new", 50L)), s"got $sync")
+    // conditional third leg: only target rows passing the (target-only)
+    // condition are tombstoned
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('x','old',7),('y','keep',8)")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'upd2' kind, CAST(11 AS BIGINT) v) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND t.kind = 'old' THEN DELETE""")
+    val cond = spark.sql(s"SELECT k, kind FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(cond == Seq("a" -> "upd2", "e" -> "new", "y" -> "keep"), s"got $cond")
+    // standalone third leg (no matched/insert legs, slim key-only source):
+    // matched keys are untouched, everything else tombstoned
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING (SELECT 'e' k) s ON t.k = s.k
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val only = spark.sql(s"SELECT k, kind, v FROM $cat.db.t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(only == Seq(("e", "new", 50L)), s"got $only")
+    // UPDATE-by-source and source-referencing conditions stay unsupported
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'e' k) s ON t.k = s.k
+                    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET kind = 'zzz'""")
+    }
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'e' k) s ON t.k = s.k
+                    WHEN NOT MATCHED BY SOURCE AND s.k = 'q' THEN DELETE""")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 1,
+      "refused shapes must not mutate the table")
   }
 
   test("SQL MERGE keeps ANSI matched semantics: absent-key 'deletes' hit the INSERT leg") {
@@ -261,6 +369,55 @@ class GraftSqlSpec extends SparkSuite {
       "refused shapes must not mutate the table")
   }
 
+  test("SQL DELETE/UPDATE derive their batch in ONE scan (persisted, narrow tombstones)") {
+    val cat = freshCatalog("onescan")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT, kind STRING, payload STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    val rows = (0 until 400).map(i => s"($i,'kind$i','${"p" * 32}$i')").mkString(", ")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES $rows")
+    // records-read budget: the derived batch must EXECUTE once (persisted),
+    // so a single-key command reads ~ R (one derivation scan) + R/4 (the one
+    // touched bucket's re-read) — the pre-fix shape re-scanned the full
+    // table for the write leg too (~2.25 R)
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null) records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    def settledRecords(): Long = {
+      var last = -1L; var stableFor = 0
+      while (stableFor < 5) {
+        val c = records.get()
+        if (c == last) stableFor += 1 else { stableFor = 0; last = c }
+        Thread.sleep(100)
+      }
+      last
+    }
+    try {
+      spark.sql(s"UPDATE $cat.db.t SET kind = 'flagged' WHERE k = 7")
+      val updRecords = settledRecords()
+      assert(updRecords < 640, s"single-key UPDATE must scan the table once, read $updRecords rows")
+      records.set(0L)
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k = 9")
+      val delRecords = settledRecords()
+      assert(delRecords < 640, s"single-key DELETE must scan the table once, read $delRecords rows")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
+    assert(spark.sql(s"SELECT kind FROM $cat.db.t WHERE k = 7").collect()(0).getString(0) == "flagged")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 399)
+    // DELETE tombstones are key-only: the payload column must still read
+    // back intact for every surviving row (nulls never leak)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE payload IS NULL")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("t.history metadata table surfaces the commit log; CTAS creates and fills a table") {
     val cat = freshCatalog("hist")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
@@ -355,6 +512,26 @@ class GraftSqlSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(inner.contains("PushedFilters: [IsNotNull(repo), EqualTo(repo,r1)]"), inner)
     assert(inner.contains("ReadSchema: struct<repo:string,path:string>"), inner)
+  }
+
+  test("q39e end-to-end: partial-SET merge equals the relational oracle") {
+    val got = ops.cdcq.sqlMergePartialSet(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expect = ev.groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("e"),
+        max("value").as("maxv"))
+      .select(col("user_id"),
+        when(col("maxv") >= 220.0, concat(col("e.event_type"), lit(":hot")))
+          .otherwise(col("e.event_type")).as("et"),
+        when(col("maxv") >= 220.0, col("e.value") + col("maxv"))
+          .otherwise(col("e.value")).as("v"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == expect,
+      s"partial-SET merge must match (got ${got.size}, expect ${expect.size})")
+    assert(got.exists(_._2.endsWith(":hot")) && got.exists(!_._2.endsWith(":hot")),
+      "fixture must exercise both the passing and the untouched branch")
   }
 
   test("q39 end-to-end: SQL MERGE replay equals the engine replay") {
