@@ -83,6 +83,46 @@ object cdcq {
       .orderBy(col("repo"), col("path"))
   }
 
+  /** CDC-out (`LakeTable.changesSince`): the lake table as a change SOURCE.
+    * A merge-on-read replay applies 4 epochs as per-key-winner delta files;
+    * the feed taken since the post-epoch-1 snapshot must carry EXACTLY the
+    * later two epochs' per-key winners (lsn, op, payload — tombstones
+    * included), which DuckDB re-derives from the raw event ranges. The O(1)
+    * completeness check is exercised too: after a compaction folds the
+    * deltas away, `changesSince` from the same snapshot must refuse loudly
+    * (silently returning survivors would be downstream data loss). */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-feed").toString
+    val table = LakeTable.createIfNotExists(spark, root, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema),
+      mode = ingest.MergeMode.MoR)
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    var sinceVersion = -1L
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      if (e == 1) sinceVersion = table.snapshot.version
+    }
+    changes.unpersist()
+    // the feed resolves its delta files NOW (pre-compaction snapshot)
+    val feed = table.changesSince(sinceVersion)
+      .select(col("lsn"), col("op"), col("repo"), col("path"),
+        col("commit_id"), col("lang"), col("content"))
+      .orderBy(col("lsn"))
+    // compaction folds the post-since deltas away: the completeness check
+    // must now refuse the same feed instead of silently returning less
+    assert(table.compactDeltas() > 0, "the MoR replay must leave deltas to compact")
+    val refused =
+      try { table.changesSince(sinceVersion); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("compacted/merged away") }
+    assert(refused, "changesSince across a compaction must refuse (folded-loss detection)")
+    feed
+  }
+
   /** Streaming replay end-to-end (SURVEY §2.8): the change stream laid out as
     * an epoch-ordered file tail — with deterministic stale REDELIVERIES of
     * earlier-epoch events seeded into later files — drained by ONE
