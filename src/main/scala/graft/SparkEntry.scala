@@ -89,6 +89,7 @@ object SparkEntry {
     "q39e_sql_merge_partial" -> (cdcq.sqlMergePartialSet _),
     "q39f_sql_merge_fullsync" -> (cdcq.sqlMergeFullSync _),
     "q41_stream_replay" -> (cdcq.streamReplay _),
+    "q41b_stream_restart" -> (cdcq.streamReplayRestart _),
     "q42_change_feed" -> (cdcq.changeFeed _),
   )
 
@@ -538,8 +539,17 @@ object SparkEntry {
          SELECT * FROM (SELECT 'ts_mid' AS label, n FROM mid
          UNION ALL SELECT 'v_mid' AS label, n FROM mid) ORDER BY label""",
     // q41 streams the SAME change mapping as q30 (redeliveries are
-    // suppressed by the stateful dedup), so the relational oracle is q30's
+    // suppressed by the stateful dedup), so the relational oracle is q30's;
+    // q41b is the crash-resume variant — exactly-once across a query
+    // restart means the SAME oracle must hold
     "q41_stream_replay" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    "q41b_stream_restart" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
          SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,

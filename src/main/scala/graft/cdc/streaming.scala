@@ -181,8 +181,22 @@ object streaming {
       watermarkFile: Option[String] = None): StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        engine.applyEpoch(batch, batchId)
-        watermarkFile.foreach(f => LsnWatermark.write(f, engine.table.snapshot.lsnHigh))
+        val fenced = batchId >= 0 && batchId <= engine.table.snapshot.epochId
+        if (fenced) {
+          // crash-redelivered batchId (query restart on the same checkpoint):
+          // the TABLE must ignore it — that's the epoch fence — but the
+          // MICRO-BATCH must still EXECUTE. applyEpoch's fence returns before
+          // any job runs, which would leave the upstream stateful operators'
+          // state stores uncommitted for this batch: Spark 4 fails the batch
+          // outright (STATE_STORE_COMMIT_VALIDATION_FAILED), and skipping
+          // would genuinely break state-version continuity for the NEXT
+          // batch. count() drives every partition; the emitted rows are
+          // discarded — the fence already guarantees the table ignores them.
+          batch.count()
+        } else {
+          engine.applyEpoch(batch, batchId)
+          watermarkFile.foreach(f => LsnWatermark.write(f, engine.table.snapshot.lsnHigh))
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -146,7 +146,23 @@ object cdcq {
     * no-data batch), so a TTL'd dedup must run as a long-lived query that
     * the caller stops once input is drained and state evicted — which is
     * the production shape of a binlog tail anyway. */
-  def streamReplay(spark: SparkSession, dir: String): DataFrame = {
+  def streamReplay(spark: SparkSession, dir: String): DataFrame =
+    streamReplayImpl(spark, dir, restartMidway = false)
+
+  /** [[streamReplay]] with a CRASH-RESUME in the middle: the first query is
+    * stopped cold once roughly half the input is durably committed (whatever
+    * micro-batch is in flight dies with it), and a SECOND query on the SAME
+    * checkpoint drains the rest. Exactly-once across the restart is the
+    * north rule's composition — Structured Streaming redelivers the
+    * interrupted batch under its original batchId, the lake's epoch fence
+    * makes a committed redelivery a no-op, and the dedup state store
+    * restores from the checkpoint — so the final state matches the same
+    * relational oracle as the uninterrupted q41 replay. */
+  def streamReplayRestart(spark: SparkSession, dir: String): DataFrame =
+    streamReplayImpl(spark, dir, restartMidway = true)
+
+  private def streamReplayImpl(spark: SparkSession, dir: String,
+      restartMidway: Boolean): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
     val root = java.nio.file.Files.createTempDirectory("graft-cdcq-stream")
@@ -180,13 +196,31 @@ object cdcq {
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
     val wmFile = root.resolve("wm").toString
-    val stream = streaming.changeStream(spark, srcDir.toString, changes.schema,
-      maxFilesPerTrigger = Some(1))
-    val deduped = streaming.statefulDedup(stream,
-      evictBelowLsn = Some(streaming.LsnWatermark.supplier(wmFile)), stateTtl = "1 second")
-    val q = streaming.replayStream(deduped, engine, root.resolve("ck").toString,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
-      watermarkFile = Some(wmFile))
+    def start(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = streaming.changeStream(spark, srcDir.toString, changes.schema,
+        maxFilesPerTrigger = Some(1))
+      val deduped = streaming.statefulDedup(stream,
+        evictBelowLsn = Some(streaming.LsnWatermark.supplier(wmFile)), stateTtl = "1 second")
+      streaming.replayStream(deduped, engine, root.resolve("ck").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+        watermarkFile = Some(wmFile))
+    }
+    if (restartMidway) {
+      // crash point: stop the tail cold once ~half the input is durably
+      // committed; the in-flight micro-batch dies with the query and must
+      // be redelivered (same batchId) to the resumed query below
+      val q1 = start()
+      try {
+        val crashAt = 2 * per
+        val deadline = System.currentTimeMillis() + 240000
+        while (q1.isActive && table.snapshot.lsnHigh < crashAt &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q1.exception.foreach(e => throw e)
+        assert(table.snapshot.lsnHigh >= crashAt,
+          s"the first query must reach the crash point (lsnHigh ${table.snapshot.lsnHigh} < $crashAt)")
+      } finally q1.stop()
+    }
+    val q = start()
     try {
       def stateRows: Long = Option(q.lastProgress)
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
