@@ -150,6 +150,14 @@ object lake {
     * the same reader/format-version gate Iceberg and Delta apply. */
   val SupportedFormatVersion = 2
 
+  /** Observability for the distributed vacuum sweep: the size of the
+    * LARGEST per-task referenced-path subset shipped by the last sweep —
+    * proves the sweep ships per-snapshot-dir slices, never the full
+    * referenced set, to any one task. -1 until a distributed sweep runs. */
+  object Vacuum {
+    val lastMaxTaskRefs = new java.util.concurrent.atomic.AtomicInteger(-1)
+  }
+
   /** Phase timing, enabled with -Dgraft.debug.timing=1 (dev/bench only). */
   private[cdc] def timed[T](label: String)(f: => T): T =
     if (System.getProperty("graft.debug.timing", "0") == "1") {
@@ -357,6 +365,14 @@ object lake {
     private def fileCountsByBucket(snap: Snapshot): Map[Int, Int] = {
       val pairs = snap.files.groupBy(_.bucket).view.mapValues(_.size).toSeq ++
         snap.manifests.map(m => m.bucket -> m.numFiles)
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+
+    /** Per-bucket DELTA-file counts, likewise O(refs) in chunked mode. */
+    private def deltaCountsByBucket(snap: Snapshot): Map[Int, Int] = {
+      val pairs = snap.files.filter(_.kind == "delta")
+        .groupBy(_.bucket).view.mapValues(_.size).toSeq ++
+        snap.manifests.filter(_.deltaFiles > 0).map(m => m.bucket -> m.deltaFiles)
       pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     }
 
@@ -1049,6 +1065,7 @@ object lake {
       val next = cur.copy(version = nextVersion, epochId = math.max(epochId, cur.epochId),
         lsnHigh = math.max(lsnHigh, cur.lsnHigh), files = nf, manifests = nm)
       val ok = commit(next, fence = epochId >= 0)
+      if (ok) maybeAutoCompact(next)
       val lin = perBucket.toSeq.map { case (b, (lmin, lmax, ups, dels)) =>
         LineageEntry(name, nextVersion, epochId, b, lmin, lmax, ups, dels,
           newFiles.count(_.bucket == b), 0, nowTs())
@@ -1056,12 +1073,33 @@ object lake {
       CommitResult(ok, if (ok) next else cur, if (ok) lin else Nil)
     }
 
+    /** MoR read-amplification guard: with table property
+      * `graft.mor.compactAfter = k`, any bucket whose outstanding delta-file
+      * count exceeds k is folded into its base right after the delta commit
+      * — per-bucket read cost stays O(base + k deltas) under arbitrarily
+      * long uncompacted epoch runs, instead of growing linearly with epoch
+      * count. Bucket selection is O(manifest refs); the fold rewrites ONLY
+      * the over-threshold buckets. Trade-off: each fold advances
+      * foldedLsnHigh, so `changesSince` consumers must keep their lag under
+      * the policy window (the standard compaction-lag contract of every
+      * incremental-feed store) — leave the property unset to schedule
+      * compaction explicitly. */
+    private def maybeAutoCompact(snap: Snapshot): Unit =
+      snap.properties.get("graft.mor.compactAfter").map(_.trim.toInt).foreach { k =>
+        val over = deltaCountsByBucket(snap).filter(_._2 > k).keySet
+        if (over.nonEmpty) { compactDeltas(Some(over)); () }
+      }
+
     /** Fold outstanding MoR delta files into base files (per-bucket CoW
-      * rewrite; logical no-op, epoch fence untouched). Returns buckets
-      * compacted. */
-    def compactDeltas(): Int = synchronized {
+      * rewrite; logical no-op, epoch fence untouched). `only` restricts the
+      * fold to a bucket subset (the auto-compaction policy's selective
+      * path). Returns buckets compacted. */
+    def compactDeltas(only: Option[Set[Int]] = None): Int = synchronized {
       val cur = snapshot
-      val deltaBuckets = bucketsWithDeltas(cur)
+      val deltaBuckets = {
+        val b = bucketsWithDeltas(cur)
+        only.map(b.intersect).getOrElse(b)
+      }
       if (deltaBuckets.isEmpty) return 0
       val data = readBucketsWithLsn(cur, Some(deltaBuckets)) // fused apply, row LSNs kept
       val olds = filesOfBuckets(cur, Some(deltaBuckets))
@@ -1246,17 +1284,33 @@ object lake {
         removed
       } else {
         val rootStr = root
-        val refB = spark.sparkContext.broadcast(referenced)
+        // Ship each task ONLY its snapshot dir's referenced subset, carried
+        // in the task's own input partition: data paths are
+        // `data/<snapshotDir>/_b=<n>/...`, so the referenced set partitions
+        // cleanly by its second path segment. The driver already holds the
+        // full set (it derived it from the kept snapshots' manifests), but
+        // no executor ever receives more than its dirs' slices — the old
+        // full-set broadcast put a multi-hundred-MB object on EVERY executor
+        // at the 10M-file envelope.
+        val refsByDir: Map[String, Seq[String]] = referenced.toSeq.groupBy { rel =>
+          val p = Paths.get(rel)
+          if (p.getNameCount >= 2) dataDir.resolve(p.getName(1).toString).toString
+          else rootStr // malformed ref: grouped away from every real dir
+        }
+        val perDirInput = snapDirs.map(d => (d, refsByDir.getOrElse(d, Nil)))
+        Vacuum.lastMaxTaskRefs.set(
+          if (perDirInput.isEmpty) 0 else perDirInput.map(_._2.size).max)
         val perDir = spark.sparkContext
-          .parallelize(snapDirs, math.max(1, math.min(snapDirs.size, 64)))
-          .map { dirStr =>
+          .parallelize(perDirInput, math.max(1, math.min(snapDirs.size, 64)))
+          .map { case (dirStr, refSeq) =>
+            val refs = refSeq.toSet
             val dir = Paths.get(dirStr)
             var removed = 0; var kept = 0
             val s = Files.walk(dir)
             try s.forEach { p =>
               if (Files.isRegularFile(p)) {
                 val rel = Paths.get(rootStr).relativize(p).toString
-                if (p.toString.endsWith(".parquet") && !refB.value.contains(rel)) {
+                if (p.toString.endsWith(".parquet") && !refs.contains(rel)) {
                   Files.deleteIfExists(p); removed += 1
                 } else kept += 1 // referenced parquet OR any non-parquet file
                   // (in-flight _temporary trees, markers): dir must survive,
@@ -1265,7 +1319,6 @@ object lake {
             } finally s.close()
             (dirStr, removed, kept)
           }.collect()
-        refB.destroy()
         perDir.filter(_._3 == 0).foreach { case (d, _, _) => deleteTree(Paths.get(d)) }
         perDir.map(_._2).sum
       }

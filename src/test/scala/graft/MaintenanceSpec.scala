@@ -213,11 +213,17 @@ class MaintenanceSpec extends SparkSuite {
     val table = LakeTable.createIfNotExists(spark, root, "big",
       RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 8)
     // synthesize the 100 TB envelope's data tree: 32k referenced (empty)
-    // files under one committed snapshot, 2k orphans from a "crashed" write
-    val dataSeed = java.nio.file.Paths.get(root, "data", "seed")
-    (0 until 8).foreach(b => java.nio.file.Files.createDirectories(dataSeed.resolve(s"_b=$b")))
+    // files spread over FOUR committed snapshot dirs (so the per-dir
+    // referenced-slice shipping is observable), 2k orphans from a
+    // "crashed" write
+    val nSeedDirs = 4
+    (0 until nSeedDirs).foreach { d =>
+      val seed = java.nio.file.Paths.get(root, "data", s"seed$d")
+      (0 until 8).foreach(b => java.nio.file.Files.createDirectories(seed.resolve(s"_b=$b")))
+    }
     val refs = (0 until nFiles).map { i =>
-      val f = DataFile(s"data/seed/_b=${i % 8}/part-$i.parquet", i % 8, 10L, 1L, 1, 0L, 9L, "base")
+      val f = DataFile(s"data/seed${i % nSeedDirs}/_b=${i % 8}/part-$i.parquet",
+        i % 8, 10L, 1L, 1, 0L, 9L, "base")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(root, f.path))
       f
     }
@@ -242,6 +248,13 @@ class MaintenanceSpec extends SparkSuite {
       // driver-side walk of 34k paths followed by 2k serial deletes
       assert(ms < 30000, s"distributed sweep took $ms ms")
       info(f"distributed sweep over ${nFiles + nOrphans} files: $ms%.0f ms")
+      // per-task payload bound: no task received more than ITS dir's slice
+      // of the referenced set (the pre-fix full-set broadcast shipped all
+      // 32k paths to every executor; at 10M+ files that is a
+      // multi-hundred-MB object per executor)
+      val maxTask = Vacuum.lastMaxTaskRefs.get()
+      assert(maxTask == nFiles / nSeedDirs && maxTask < nFiles,
+        s"largest per-task slice must be one dir's ${nFiles / nSeedDirs}, saw $maxTask")
     } finally System.clearProperty("graft.vacuum.distributed")
   }
 

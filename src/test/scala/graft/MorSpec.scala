@@ -101,6 +101,44 @@ class MorSpec extends SparkSuite {
     assert(e.getMessage.contains("no longer available"), e.getMessage)
   }
 
+  test("auto-compaction policy bounds MoR read amplification under long epoch runs") {
+    import spark.implicits._
+    def deltasByBucket(t: LakeTable): Map[Int, Int] =
+      t.snapshot.files.filter(_.kind == "delta").groupBy(_.bucket).view.mapValues(_.size).toMap
+    def batch(e: Int) = (0 until 50).map { i =>
+      (e * 100L + i, "U", s"r${i % 5}", s"p/$i", s"c$e-$i", "scala", s"content-$e-$i")
+    }.toDF("lsn", "op", "repo", "path", "commit", "lang", "content")
+    val k = 4
+    val guarded = LakeTable.createIfNotExists(spark, tmpDir("mor-auto"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4,
+      properties = Map("graft.mor.compactAfter" -> k.toString))
+    val control = LakeTable.createIfNotExists(spark, tmpDir("mor-ctl"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val gEngine = new ReplayEngine(guarded, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    val cEngine = new ReplayEngine(control, SchemaRegistry.single(RepoRow.schemaV1), mode = MergeMode.MoR)
+    val epochs = 16 // stands in for "1000 uncompacted epochs": the bound is
+                    // per-epoch-invariant, so holding at every step = holding forever
+    (0 until epochs).foreach { e =>
+      val b = batch(e)
+      assert(gEngine.applyEpoch(b, e).committed)
+      assert(cEngine.applyEpoch(b, e).committed)
+      val counts = deltasByBucket(guarded)
+      assert(counts.values.forall(_ <= k),
+        s"epoch $e: policy must keep every bucket at <= $k deltas, saw $counts")
+    }
+    // the control table's read amplification grows with epoch count — the
+    // exact problem the policy bounds
+    assert(deltasByBucket(control).values.max > k,
+      s"control must accumulate: ${deltasByBucket(control)}")
+    // both converge to the same state (compaction is a logical no-op)
+    val g = guarded.read().orderBy("path").collect().map(_.toString).toSeq
+    val c = control.read().orderBy("path").collect().map(_.toString).toSeq
+    assert(g.nonEmpty && g == c, "policy must not change query results")
+    // the fold is selective: only over-threshold buckets were rewritten, and
+    // the epoch fence is untouched by the maintenance commits
+    assert(guarded.snapshot.epochId == epochs - 1)
+  }
+
   test("MoR with duplicates and deletes: tombstones win until a later upsert") {
     import spark.implicits._
     val table = LakeTable.createIfNotExists(spark, tmpDir("mor-d"), "t",
