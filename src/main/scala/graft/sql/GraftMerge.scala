@@ -34,8 +34,16 @@ import org.apache.spark.sql.graftbridge.Bridge
   *   [WHEN MATCHED AND <cond-over-s> THEN DELETE]
   *   WHEN MATCHED [AND <cond>] THEN UPDATE SET *            -- update-all
   *     | WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...  -- partial
-  *   [WHEN NOT MATCHED [AND <cond-over-s>] THEN INSERT *]
+  *   [WHEN NOT MATCHED [AND <cond-over-s>] THEN INSERT *
+  *     | ... INSERT (k1, k2, c, ...) VALUES (s.k1, s.k2, expr, ...)]
+  *   [WHEN NOT MATCHED BY SOURCE [AND <cond-over-t>] THEN DELETE
+  *     | ... THEN UPDATE SET c = expr-over-t, ...]
   * }}}
+  *
+  * Partial INSERT lists must assign every key column identity-to-source
+  * (the probe's matched-ness key must equal the inserted key); unlisted
+  * non-key columns insert NULL. NOT MATCHED BY SOURCE legs (full sync /
+  * stale-row flagging) reference target columns only.
   *
   * The DELETE/INSERT leg conditions must reference SOURCE columns only (the
   * CDC shape — e.g. `s.op = 'delete'`); target-side or unqualified
@@ -90,14 +98,16 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
             source.output.exists(_.name.startsWith(TgtPrefix))
           val canon = canonicalizer(target, tgtCols, source)
           (keyEquality(cond, keys), classifyMatched(matched, keys, tgtCols, canon),
-            classifyInsert(notMatched),
-            classifyBySource(notMatchedBySource, target, tgtCols, source)) match {
-            case (true, Some((deleteCond, matchedUpdate)), Some(insertCond), Some(bySourceDelete))
+            classifyInsert(notMatched, keys, tgtCols, canon),
+            classifyBySource(notMatchedBySource, target, tgtCols, keys, source)) match {
+            case (true, Some((deleteCond, matchedUpdate)),
+                Some((insertCond, insertAssigns)), Some(bySource))
                 if deleteCond.forall(sourceOnly(_, source)) &&
                   insertCond.forall(sourceOnly(_, source)) &&
                   !(matchedUpdate.isDefined && prefixClash) =>
               GraftMergeCommand(gt, source, deleteCond, insertCond, matchedUpdate,
-                hasInsert = notMatched.nonEmpty, bySourceDelete = bySourceDelete)
+                hasInsert = notMatched.nonEmpty, bySource = bySource,
+                insertAssigns = insertAssigns)
             case _ => m // unsupported shape: let Spark's path report it
           }
         case None => m
@@ -330,18 +340,51 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** not-matched actions: one INSERT * with an optional (source-only)
-    * condition, or NO insert leg at all (update/delete-only MERGE — lowered
-    * as an always-false insert condition, so unmatched source rows drop).
-    * Some(None) = unconditional, Some(Some(c)) = conditional/none,
-    * None = unsupported shape. */
-  private def classifyInsert(notMatched: Seq[MergeAction]): Option[Option[Expression]] =
+  /** not-matched actions -> (condition, partial-assignment list). One
+    * INSERT * (assignments = None), one partial
+    * `INSERT (cols) VALUES (exprs)` list (assignments = Some: canonicalized
+    * source-only values, key columns REQUIRED and identity-to-source so the
+    * probe's matched-ness key equals the inserted key, unlisted non-key
+    * columns insert NULL), or NO insert leg at all (update/delete-only
+    * MERGE — an always-false condition drops unmatched source rows).
+    * Returns None for unsupported shapes (a non-identity key value would
+    * let an "insert" silently upsert a key the probe never tested). */
+  private def classifyInsert(notMatched: Seq[MergeAction], keys: Seq[String],
+      tgtCols: Set[String], canon: Expression => Option[Expression])
+      : Option[(Option[Expression], Option[Seq[(String, Expression)]])] = {
+    val keySet = keys.map(_.toLowerCase).toSet
+    def partial(assigns: Seq[Assignment], c: Option[Expression])
+        : Option[(Option[Expression], Option[Seq[(String, Expression)]])] = {
+      val named = assigns.map { a =>
+        (nameOf(a.key), canon(a.value)) match {
+          case (Some(k), Some(v)) if tgtCols(k) && !referencesTarget(v) => Some(k -> v)
+          case _ => None
+        }
+      }
+      if (named.exists(_.isEmpty)) return None
+      val (keyAssigns, valueAssigns) = named.flatten.partition { case (k, _) => keySet(k) }
+      val keyIdentity = keyAssigns.map(_._1).toSet == keySet && keyAssigns.forall {
+        case (k, UnresolvedAttribute(Seq(n))) => n.toLowerCase == k
+        case _ => false
+      }
+      if (!keyIdentity) None else Some((c, Some(valueAssigns)))
+    }
     notMatched match {
-      case Seq() => Some(Some(Bridge.expression(lit(false))))
-      case Seq(InsertStarAction(c)) => Some(c)
-      case Seq(InsertAction(c, assigns)) if isIdentity(assigns) => Some(c)
+      case Seq() => Some((Some(Bridge.expression(lit(false))), None))
+      case Seq(InsertStarAction(c)) => Some((c, None))
+      case Seq(InsertAction(c, assigns)) if isIdentity(assigns) => Some((c, None))
+      case Seq(InsertAction(c, assigns)) => partial(assigns, c)
       case _ => None
     }
+  }
+
+  /** True when a canonicalized expression still references a TARGET column
+    * (TgtPrefix-renamed) — invalid in insert-leg values, where no target
+    * row exists. */
+  private def referencesTarget(e: Expression): Boolean = e.exists {
+    case u: UnresolvedAttribute => u.nameParts.head.startsWith(TgtPrefix)
+    case _ => false
+  }
 
   /** The condition of a NOT MATCHED BY SOURCE leg may reference TARGET
     * columns only (there is no source row for such a key): qualified refs
@@ -365,19 +408,39 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     ok(cond) && noSubquery(cond)
   }
 
-  /** NOT MATCHED BY SOURCE legs: absent, or exactly one DELETE with an
-    * optional target-only condition — the ANSI "full sync" third leg
-    * (target keys the source doesn't carry are tombstoned). Some(None) =
-    * no leg, Some(Some(condOpt)) = delete leg, None = unsupported
-    * (UPDATE-by-source still falls through to Spark's error). */
+  /** A supported NOT MATCHED BY SOURCE leg: tombstone or per-column update
+    * of the target keys the source does not carry. All expressions are
+    * target-only (there is no source row for such a key) and rebind by
+    * name at run time. */
+  sealed trait BySourceAction extends Serializable
+  final case class BySourceDelete(condition: Option[Expression]) extends BySourceAction
+  final case class BySourceUpdate(assignments: Seq[(String, Expression)],
+      condition: Option[Expression]) extends BySourceAction
+
+  /** NOT MATCHED BY SOURCE legs: absent, one DELETE, or one
+    * `UPDATE SET col = expr, ...` — each with an optional target-only
+    * condition (the ANSI third leg: full sync / stale-row flagging).
+    * Some(None) = no leg, Some(Some(action)) = supported leg, None =
+    * unsupported shape (falls through to Spark's error). */
   private def classifyBySource(bySource: Seq[MergeAction], target: LogicalPlan,
-      tgtCols: Set[String], source: LogicalPlan): Option[Option[Option[Expression]]] =
+      tgtCols: Set[String], keys: Seq[String],
+      source: LogicalPlan): Option[Option[BySourceAction]] = {
+    val keySet = keys.map(_.toLowerCase).toSet
+    def tOnly(e: Expression) = targetOnly(e, target, tgtCols, source)
     bySource match {
       case Seq() => Some(None)
-      case Seq(DeleteAction(c)) if c.forall(targetOnly(_, target, tgtCols, source)) =>
-        Some(Some(c))
+      case Seq(DeleteAction(c)) if c.forall(tOnly) => Some(Some(BySourceDelete(c)))
+      case Seq(UpdateAction(c, assigns, _)) if c.forall(tOnly) && assigns.nonEmpty =>
+        val named = assigns.map { a =>
+          (nameOf(a.key), a.value) match {
+            case (Some(k), v) if tgtCols(k) && !keySet(k) && tOnly(v) => Some(k -> v)
+            case _ => None
+          }
+        }
+        if (named.exists(_.isEmpty)) None else Some(Some(BySourceUpdate(named.flatten, c)))
       case _ => None
     }
+  }
 }
 
 /** The lowered command: executes the source plan, shapes it into a change
@@ -401,7 +464,8 @@ case class GraftMergeCommand(
     insertCondition: Option[Expression],
     matchedUpdate: Option[GraftMergeRewrite.PartialUpdateSpec] = None,
     hasInsert: Boolean = true,
-    bySourceDelete: Option[Option[Expression]] = None) extends RunnableCommand {
+    bySource: Option[GraftMergeRewrite.BySourceAction] = None,
+    insertAssigns: Option[Seq[(String, Expression)]] = None) extends RunnableCommand {
 
   override def children: Seq[LogicalPlan] = Seq(source)
 
@@ -441,8 +505,8 @@ case class GraftMergeCommand(
     // expressions may reference `t.<col>`. The flag column name is salted
     // so a source that legitimately carries a `_matched` column can never
     // make the join ambiguous or rebind the coalesce.
-    val needMatch =
-      deleteCondition.isDefined || insertCondition.isDefined || matchedUpdate.isDefined
+    val needMatch = deleteCondition.isDefined || insertCondition.isDefined ||
+      matchedUpdate.isDefined || insertAssigns.isDefined
     val matchedCol = s"_matched_${java.util.UUID.randomUUID().toString.take(8)}"
     val nonKey = snap.schema.fields.toSeq.filterNot(f => keys.contains(f.name))
     val keyTypes = snap.schema.fields
@@ -501,49 +565,72 @@ case class GraftMergeCommand(
     // considered and rejected: rows parked at 2^62 would outrank every
     // FUTURE genuine event, silently freezing those keys.
     val lsn = math.max(snap.lsnHigh, 0L) + 1L
-    val payloadCols: Seq[org.apache.spark.sql.Column] = matchedUpdate match {
-      case None => snap.schema.fieldNames.toSeq.map(col)
-      case Some(pu) =>
-        // partial SET: matched rows emit the TARGET row with assignments
-        // applied over it (ANSI — non-assigned columns keep target values);
-        // unmatched inserts take the source's columns; a D row's payload is
-        // irrelevant (the merge drops delete winners before writing)
-        val assigned = pu.assignments.toMap
-        snap.schema.fields.toSeq.map { f =>
-          if (keys.contains(f.name)) col(f.name)
-          else {
-            val updVal = assigned.get(f.name.toLowerCase)
+    // per-column event payload, four shapes sharing one projection:
+    //  - matched non-delete rows: SET * takes the source column; a partial
+    //    SET applies its assignment exprs over the probed TARGET values
+    //    (ANSI — non-assigned columns keep the target's)
+    //  - unmatched rows: INSERT * takes the source column; a partial
+    //    INSERT (cols) VALUES list applies its (source-only) exprs and
+    //    NULL-fills unlisted columns; without an INSERT leg the branch is
+    //    filtered out before this projection, so a slim source (keys +
+    //    referenced columns only) needs no full payload — typed nulls keep
+    //    the dead branch resolvable
+    //  - D rows' payload is irrelevant (the merge drops delete winners)
+    val insertAssignMap = insertAssigns.map(_.toMap)
+    val payloadCols: Seq[org.apache.spark.sql.Column] =
+      if (matchedUpdate.isEmpty && insertAssignMap.isEmpty) snap.schema.fieldNames.toSeq.map(col)
+      else snap.schema.fields.toSeq.map { f =>
+        if (keys.contains(f.name)) col(f.name)
+        else {
+          val updVal = matchedUpdate match {
+            case Some(pu) => pu.assignments.toMap.get(f.name.toLowerCase)
               .map(e => Bridge.column(e).cast(f.dataType))
               .getOrElse(col(GraftMergeRewrite.TgtPrefix + f.name))
-            // without an INSERT leg the unmatched branch is filtered out
-            // before this projection, so a slim source (keys + referenced
-            // columns only) needs no full payload — typed nulls keep the
-            // dead branch resolvable; WITH an insert leg the source must
-            // carry every column, as ANSI INSERT * requires
-            val insVal = if (hasInsert) col(f.name) else lit(null).cast(f.dataType)
-            when(col(matchedCol) && !delC, updVal).otherwise(insVal).as(f.name)
+            case None => col(f.name) // SET *: source value
           }
+          val insVal = insertAssignMap match {
+            case Some(m) => m.get(f.name.toLowerCase)
+              .map(e => Bridge.column(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+            case None if hasInsert => col(f.name)
+            case None => lit(null).cast(f.dataType)
+          }
+          when(col(matchedCol) && !delC, updVal).otherwise(insVal).as(f.name)
         }
-    }
+      }
     val batch = kept.select(
       (Seq(lit(lsn).as("lsn"), opCol.as("op")) ++ payloadCols): _*)
-    // NOT MATCHED BY SOURCE THEN DELETE: tombstone every (condition-passing)
-    // target key the source does NOT carry. The semantics quantify over the
-    // whole target, so a full key scan is inherent — but it stays NARROW
-    // (keys + condition columns; tombstone payload is typed nulls, dropped
-    // by the merge before writing) and the derived set is persisted so the
-    // merge's two consumers don't re-run the anti-join.
-    val tombstones = bySourceDelete.map { condOpt =>
+    // NOT MATCHED BY SOURCE legs: every (condition-passing) target key the
+    // source does NOT carry is re-emitted — as a tombstone (DELETE: key-only
+    // rows, payload typed nulls, dropped by the merge before writing; the
+    // anti-join scan stays narrow) or as an op='U' event with the
+    // (target-only) assignments applied over the row (UPDATE: full-width
+    // read, non-assigned columns keep their values). The semantics quantify
+    // over the whole target, so a full scan is inherent; the derived set is
+    // persisted so the merge's two consumers don't re-run the anti-join.
+    val tombstones = bySource.map { act =>
       val tgt = table.readBuckets(snap, None)
-      val filtered = condOpt.map(c => tgt.filter(GraftRowLevel.byName(c))).getOrElse(tgt)
-      filtered
-        .join(src.select(castKeys: _*), keys, "left_anti")
-        .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++
-          snap.schema.fields.toSeq.map { f =>
-            if (keys.contains(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val antiOf = (df: org.apache.spark.sql.DataFrame) =>
+        df.join(src.select(castKeys: _*), keys, "left_anti")
+      val derived = act match {
+        case GraftMergeRewrite.BySourceDelete(condOpt) =>
+          antiOf(condOpt.map(c => tgt.filter(byName(c))).getOrElse(tgt))
+            .select((Seq(lit(lsn).as("lsn"), lit("D").as("op")) ++
+              snap.schema.fields.toSeq.map { f =>
+                if (keys.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }): _*)
+        case GraftMergeRewrite.BySourceUpdate(assigns, condOpt) =>
+          val am = assigns.toMap
+          antiOf(condOpt.map(c => tgt.filter(byName(c))).getOrElse(tgt))
+            .select((Seq(lit(lsn).as("lsn"), lit("U").as("op")) ++
+              snap.schema.fields.toSeq.map { f =>
+                am.get(f.name.toLowerCase)
+                  .map(e => byName(e).cast(f.dataType).as(f.name))
+                  .getOrElse(col(f.name))
+              }): _*)
+      }
+      derived.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     try table.merge(tombstones.map(batch.unionByName(_)).getOrElse(batch), epochId = -1L)
     finally tombstones.foreach(_.unpersist(blocking = false))

@@ -197,16 +197,56 @@ class GraftSqlSpec extends SparkSuite {
     val only = spark.sql(s"SELECT k, kind, v FROM $cat.db.t").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(only == Seq(("e", "new", 50L)), s"got $only")
-    // UPDATE-by-source and source-referencing conditions stay unsupported
-    intercept[Exception] {
-      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'e' k) s ON t.k = s.k
-                    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET kind = 'zzz'""")
-    }
+    // a source-referencing third-leg condition is invalid (no source row
+    // exists for a not-matched-by-source key) — falls through to Spark
     intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'e' k) s ON t.k = s.k
                     WHEN NOT MATCHED BY SOURCE AND s.k = 'q' THEN DELETE""")
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 1,
+      "refused shapes must not mutate the table")
+  }
+
+  test("SQL MERGE partial INSERT lists and NOT MATCHED BY SOURCE UPDATE") {
+    val cat = freshCatalog("mins")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2)")
+    // partial INSERT: keys identity-to-source, expr values, unlisted `kind`
+    // inserts NULL; matched rows update-all
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'up' kind, CAST(5 AS BIGINT) n
+                 UNION ALL SELECT 'c', 'ign', 7) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n * 10)""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "up", 5L), ("b", "y", 2L), ("c", null, 70L)), s"got $got")
+    // NOT MATCHED BY SOURCE UPDATE: stale rows (absent from the source) are
+    // flagged in place with target-referencing assignments
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k) s ON t.k = s.k
+          WHEN NOT MATCHED BY SOURCE AND t.n < 50 THEN
+            UPDATE SET kind = concat(coalesce(kind, '?'), ':stale'), n = n + 100""")
+    val flagged = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    assert(flagged == Seq(("a", "up", 5L), ("b", "y:stale", 102L), ("c", null, 70L)),
+      s"got $flagged")
+    // a non-identity key value in a partial INSERT could upsert a key the
+    // matched-ness probe never tested — refused
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'zz' k, CAST(1 AS BIGINT) n) s
+                    ON t.k = s.k
+                    WHEN NOT MATCHED THEN INSERT (k, n) VALUES (concat(s.k, '!'), s.n)""")
+    }
+    // PK assignment in the by-source UPDATE likewise
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING (SELECT 'a' k) s ON t.k = s.k
+                    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 'moved'""")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 3,
       "refused shapes must not mutate the table")
   }
 
