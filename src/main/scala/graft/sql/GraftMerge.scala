@@ -323,6 +323,11 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       // partial update drops them from the change batch
       case Seq() => Some((None,
         Some(PartialUpdateSpec(Nil, Some(Bridge.expression(lit(false)))))))
+      // delete-only matched leg (the toggle shape): matched rows passing
+      // the delete condition tombstone, the rest are untouched
+      case Seq(DeleteAction(c)) => Some((
+        Some(c.getOrElse(Bridge.expression(lit(true)))),
+        Some(PartialUpdateSpec(Nil, Some(Bridge.expression(lit(false)))))))
       case Seq(u) if isUpdateAll(u) => Some((None, None))
       case Seq(DeleteAction(c), u) if isUpdateAll(u) =>
         Some((Some(c.getOrElse(Bridge.expression(lit(true)))), None))
@@ -531,8 +536,13 @@ case class GraftMergeCommand(
         // pruned probe exists to avoid)
         GraftMergeCommand.lastProbe.set(Some(
           (probeFiles.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))
-        val probeCols = keys.map(col) ++ (if (matchedUpdate.isEmpty) Nil
-          else nonKey.map(f => col(f.name).as(GraftMergeRewrite.TgtPrefix + f.name)))
+        // target payload is fetched only when a non-empty assignment list
+        // can reference it — an empty spec (untouched/delete-only matched
+        // legs) never emits a target-valued row, so the probe stays key-only
+        val probeCols = keys.map(col) ++
+          (if (matchedUpdate.exists(_.assignments.nonEmpty))
+            nonKey.map(f => col(f.name).as(GraftMergeRewrite.TgtPrefix + f.name))
+          else Nil)
         val tgtKeys = table.readBuckets(snap, Some(touched))
           .select(probeCols: _*).withColumn(matchedCol, lit(true))
         src.join(tgtKeys, keys, "left")
@@ -582,18 +592,22 @@ case class GraftMergeCommand(
       else snap.schema.fields.toSeq.map { f =>
         if (keys.contains(f.name)) col(f.name)
         else {
-          val updVal = matchedUpdate match {
-            case Some(pu) => pu.assignments.toMap.get(f.name.toLowerCase)
-              .map(e => Bridge.column(e).cast(f.dataType))
-              .getOrElse(col(GraftMergeRewrite.TgtPrefix + f.name))
-            case None => col(f.name) // SET *: source value
-          }
           val insVal = insertAssignMap match {
             case Some(m) => m.get(f.name.toLowerCase)
               .map(e => Bridge.column(e).cast(f.dataType))
               .getOrElse(lit(null).cast(f.dataType))
             case None if hasInsert => col(f.name)
             case None => lit(null).cast(f.dataType)
+          }
+          val updVal = matchedUpdate match {
+            // empty spec: matched survivors are all deletes (payload
+            // irrelevant) — reuse insVal so the projection never touches
+            // the unfetched target payload
+            case Some(pu) if pu.assignments.isEmpty => insVal
+            case Some(pu) => pu.assignments.toMap.get(f.name.toLowerCase)
+              .map(e => Bridge.column(e).cast(f.dataType))
+              .getOrElse(col(GraftMergeRewrite.TgtPrefix + f.name))
+            case None => col(f.name) // SET *: source value
           }
           when(col(matchedCol) && !delC, updVal).otherwise(insVal).as(f.name)
         }

@@ -248,6 +248,15 @@ class GraftSqlSpec extends SparkSuite {
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 3,
       "refused shapes must not mutate the table")
+    // delete-only matched leg (the toggle shape): listed keys tombstone,
+    // everything else untouched, unmatched source keys are no-ops
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k UNION ALL SELECT 'c' UNION ALL SELECT 'absent') s
+          ON t.k = s.k
+          WHEN MATCHED THEN DELETE""")
+    assert(spark.sql(s"SELECT k FROM $cat.db.t").collect().map(_.getString(0)).toSeq == Seq("b"),
+      "delete-only MERGE must remove exactly the matched keys")
   }
 
   test("SQL MERGE keeps ANSI matched semantics: absent-key 'deletes' hit the INSERT leg") {
