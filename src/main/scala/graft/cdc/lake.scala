@@ -709,11 +709,26 @@ object lake {
 
     /** Additive schema evolution: commit a metadata-only snapshot whose current
       * schema is `next` (new nullable columns / widened types). Existing data
-      * files keep their physical schemaVersion and are conformed on read. */
+      * files keep their physical schemaVersion and are conformed on read.
+      *
+      * KEY columns may never change type — not even widen: the bucket
+      * assignment hashes the key columns' VALUES at their current types
+      * (`pmod(hash(keys), NB)`), and Spark's Murmur3 hashes an int and the
+      * same value as a long differently, so a widened key would re-home
+      * every existing key to a different bucket than its stored rows —
+      * merges would then silently see (and split) keys across buckets. */
     def evolveSchema(next: StructType): Snapshot = {
       require(!next.fieldNames.exists(_.equalsIgnoreCase("_lsn")),
         s"table '$name': _lsn is a reserved system column name")
       val cur = snapshot
+      cur.keyColumns.foreach { k =>
+        val prev = cur.schema.fields.find(_.name.equalsIgnoreCase(k))
+        val nf = next.fields.find(_.name.equalsIgnoreCase(k))
+        require(prev.map(_.dataType) == nf.map(_.dataType),
+          s"table '$name': key column '$k' cannot change type (bucket assignment " +
+            "hashes key values at their declared type; widening would re-home every " +
+            "existing key to a different bucket than its stored rows)")
+      }
       val reg = cur.registry.evolve(next)
       val ns = cur.copy(version = cur.version + 1,
         schemaVersion = reg.latestVersion,

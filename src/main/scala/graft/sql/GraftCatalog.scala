@@ -141,18 +141,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * delta_engine safety rules):
     *  - ADD COLUMNS (nullable, top-level) -> `LakeTable.evolveSchema`
     *    (metadata-only commit; old files conform on read)
+    *  - ALTER COLUMN c TYPE <wider> (non-key, widening lattice only) ->
+    *    the same evolveSchema path (cast-on-read, no rewrite)
     *  - SET/UNSET TBLPROPERTIES -> `LakeTable.setProperties` */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = lake.LakeTable.load(spark, rootOf(ident), ident.name())
-    val (adds, rest) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (adds, rest0) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (widens, rest) = rest0.partition(_.isInstanceOf[TableChange.UpdateColumnType])
     val (props, unsupported) = rest.partition(c =>
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"only additive ADD COLUMNS and TBLPROPERTIES changes are supported; " +
+        s"only additive ADD COLUMNS, type-WIDENING ALTER COLUMN ... TYPE and " +
+          s"TBLPROPERTIES changes are supported; " +
           s"got ${unsupported.map(_.getClass.getSimpleName).mkString(", ")} " +
-          "(drops/renames/type changes are refused by design — additive evolution only)")
-    if (adds.nonEmpty) {
+          "(drops/renames/narrowing are refused by design — additive evolution only)")
+    if (adds.nonEmpty || widens.nonEmpty) {
+      // ALTER COLUMN c TYPE <wider>: lowered onto the same additive
+      // evolution path as ADD COLUMNS — the registry validates the change
+      // against the widening lattice (narrowing throws), evolveSchema
+      // refuses KEY columns (their type feeds the bucket hash), and old
+      // files conform on read (cast) without rewrite
+      val widenByName = widens.map { c =>
+        val u = c.asInstanceOf[TableChange.UpdateColumnType]
+        require(u.fieldNames().length == 1, "nested column type changes are not supported")
+        u.fieldNames().head.toLowerCase -> u.newDataType()
+      }.toMap
+      val known = t.snapshot.schema.fieldNames.map(_.toLowerCase).toSet
+      widenByName.keys.find(!known(_)).foreach(k =>
+        throw new IllegalArgumentException(s"no such column: $k"))
+      val updated = t.snapshot.schema.fields.map { f =>
+        widenByName.get(f.name.toLowerCase).map(dt => f.copy(dataType = dt)).getOrElse(f)
+      }
       val newFields = adds.map { c =>
         val a = c.asInstanceOf[TableChange.AddColumn]
         require(a.fieldNames().length == 1, "nested column adds are not supported")
@@ -161,7 +181,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val f = org.apache.spark.sql.types.StructField(a.fieldNames().head, a.dataType(), nullable = true)
         Option(a.comment()).filter(_.nonEmpty).map(f.withComment).getOrElse(f)
       }
-      t.evolveSchema(StructType(t.snapshot.schema.fields ++ newFields))
+      t.evolveSchema(StructType(updated ++ newFields))
     }
     if (props.nonEmpty) {
       val sets = props.collect { case p: TableChange.SetProperty => p.property() -> p.value() }.toMap

@@ -510,6 +510,40 @@ class GraftSqlSpec extends SparkSuite {
     assert(drop.getMessage.contains("additive"), drop.getMessage)
   }
 
+  test("SQL ALTER COLUMN TYPE: widening evolves metadata-only; narrowing and key widening refuse") {
+    val cat = freshCatalog("widen")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT, n INT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 10), (2, 20)")
+    // widen non-key INT -> BIGINT: old files cast on read, new rows native
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, ${Long.MaxValue}L)")
+    val got = spark.sql(s"SELECT k, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 20L, 3L -> Long.MaxValue), s"got $got")
+    // narrowing refuses — Spark's analyzer pre-rejects non-upcast changes
+    // before the catalog (the registry's widening lattice backstops the
+    // programmatic evolveSchema path, SchemaEvolutionSpec)
+    val narrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n TYPE INT")
+    }
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), narrow.getMessage)
+    // a KEY column's type feeds the bucket hash: widening it would re-home
+    // every existing key away from its stored rows — refused at the engine
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t"
+    val t2root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t2"
+    spark.sql(s"""CREATE TABLE $cat.db.t2 (k INT, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    val keyWiden = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t2 ALTER COLUMN k TYPE BIGINT")
+    }
+    assert(keyWiden.getMessage.contains("key column"), keyWiden.getMessage)
+    assert(LakeTable.load(spark, t2root, "t2").snapshot.schemaVersion == 1,
+      "refused key widening must not cut a schema version")
+    assert(LakeTable.load(spark, root, "t").snapshot.schemaVersion == 2,
+      "non-key widening cuts exactly one new schema version")
+  }
+
   test("a resolved SQL DataFrame pins its snapshot: MVCC across later commits") {
     val cat = freshCatalog("mvcc2")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
