@@ -91,6 +91,7 @@ object SparkEntry {
     "q41_stream_replay" -> (cdcq.streamReplay _),
     "q41b_stream_restart" -> (cdcq.streamReplayRestart _),
     "q42_change_feed" -> (cdcq.changeFeed _),
+    "q42b_change_feed_sql" -> (cdcq.changeFeedSql _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -576,6 +577,18 @@ object SparkEntry {
     // q42: the feed since epoch 1's snapshot = epochs 2..3's per-key winners
     // (deltaAppend dedups within each epoch batch; both epochs' rows appear)
     "q42_change_feed" ->
+      """WITH p AS (SELECT (max(event_id)+4)//4 AS per FROM events),
+         w AS (SELECT *, event_id // (SELECT per FROM p) AS ep FROM events
+               WHERE event_id >= 2*(SELECT per FROM p)
+               QUALIFY row_number() OVER (PARTITION BY ep, user_id ORDER BY event_id DESC) = 1)
+         SELECT event_id AS lsn,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                'r' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                'p/' || CAST(user_id AS VARCHAR) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id,
+                event_type AS lang, props AS content
+         FROM w ORDER BY lsn""",
+    "q42b_change_feed_sql" ->
       """WITH p AS (SELECT (max(event_id)+4)//4 AS per FROM events),
          w AS (SELECT *, event_id // (SELECT per FROM p) AS ep FROM events
                WHERE event_id >= 2*(SELECT per FROM p)

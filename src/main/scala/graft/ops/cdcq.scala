@@ -123,6 +123,43 @@ object cdcq {
     feed
   }
 
+  /** [[changeFeed]] through the SQL surface: the same MoR replay runs
+    * against a GraftCatalog-registered table root, and the feed is read as
+    * the `t.changes_since_<v>` metadata table — CDC-out as a first-class
+    * SQL citizen, same relational oracle as q42. */
+  def changeFeedSql(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gcf${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-cf-sql").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.repo_files")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.repo_files
+          (repo STRING, path STRING, commit_id STRING, lang STRING, content STRING)
+          TBLPROPERTIES ('primary_key'='repo,path', 'buckets'='16')""")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/repo_files"
+    val table = LakeTable.load(spark, root, "repo_files")
+    val engine = new ReplayEngine(table, table.snapshot.registry,
+      mode = ingest.MergeMode.MoR)
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    var sinceVersion = -1L
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      if (e == 1) sinceVersion = table.snapshot.version
+    }
+    changes.unpersist()
+    spark.sql(
+      s"""SELECT lsn, op, repo, path, commit_id, lang, content
+          FROM $cat.db.repo_files.changes_since_$sinceVersion ORDER BY lsn""")
+  }
+
   /** Streaming replay end-to-end (SURVEY §2.8): the change stream laid out as
     * an epoch-ordered file tail — with deterministic stale REDELIVERIES of
     * earlier-epoch events seeded into later files — drained by ONE
@@ -205,6 +242,15 @@ object cdcq {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
         watermarkFile = Some(wmFile))
     }
+    // snapshot-JSON-parse-free poll: the tiny _CURRENT pointer is read per
+    // tick and the manifest parsed only when the version actually advanced
+    var cachedVersion = -1L
+    var cachedLsnHigh = -1L
+    def lsnHigh(): Long = {
+      val v = table.currentVersionOpt.getOrElse(-1L)
+      if (v != cachedVersion) { cachedVersion = v; cachedLsnHigh = table.snapshotAt(v).lsnHigh }
+      cachedLsnHigh
+    }
     if (restartMidway) {
       // crash point: stop the tail cold once ~half the input is durably
       // committed; the in-flight micro-batch dies with the query and must
@@ -213,11 +259,11 @@ object cdcq {
       try {
         val crashAt = 2 * per
         val deadline = System.currentTimeMillis() + 240000
-        while (q1.isActive && table.snapshot.lsnHigh < crashAt &&
+        while (q1.isActive && lsnHigh() < crashAt &&
           System.currentTimeMillis() < deadline) Thread.sleep(50)
         q1.exception.foreach(e => throw e)
-        assert(table.snapshot.lsnHigh >= crashAt,
-          s"the first query must reach the crash point (lsnHigh ${table.snapshot.lsnHigh} < $crashAt)")
+        assert(lsnHigh() >= crashAt,
+          s"the first query must reach the crash point (lsnHigh ${lsnHigh()} < $crashAt)")
       } finally q1.stop()
     }
     val q = start()
@@ -225,7 +271,7 @@ object cdcq {
       def stateRows: Long = Option(q.lastProgress)
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       val deadline = System.currentTimeMillis() + 240000
-      while (q.isActive && (table.snapshot.lsnHigh < maxLsn || stateRows != 0) &&
+      while (q.isActive && (lsnHigh() < maxLsn || stateRows != 0) &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
       // surface the ROOT CAUSE if the query died (a swallowed foreachBatch /
       // state-store failure would otherwise read as a misleading drain

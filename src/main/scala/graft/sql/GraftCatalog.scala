@@ -85,6 +85,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           return new GraftHistoryTable(
             lake.LakeTable.load(spark, rootOf(base), base.name()))
       }
+      // CDC-out metadata table: `SELECT * FROM cat.db.t.changes_since_<v>`
+      // = LakeTable.changesSince(v) through SQL — the change rows (lsn, op,
+      // payload) committed after snapshot v, with the folded-loss
+      // completeness check surfacing as the scan's error
+      if (ident.name().startsWith("changes_since_") && ns.nonEmpty) {
+        val base = Identifier.of(ns.init, ns.last)
+        val since = ident.name().stripPrefix("changes_since_").toLongOption
+        if (tableExists(base) && since.isDefined)
+          return new GraftChangesTable(
+            lake.LakeTable.load(spark, rootOf(base), base.name()), since.get)
+      }
       throw new NoSuchTableException(ident.namespace() :+ ident.name())
     }
     new GraftTable(lake.LakeTable.load(spark, rootOf(ident), ident.name()), None)
@@ -298,6 +309,41 @@ class GraftHistoryTable(lakeTable: lake.LakeTable) extends Table with SupportsRe
               }
               ctx.sparkSession.sparkContext.parallelize(rows, 1)
             }
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+/** Read-only CDC-out metadata table (`t.changes_since_<v>`): the MoR delta
+  * change rows committed after snapshot v, resolved by
+  * [[lake.LakeTable.changesSince]] — schema = (lsn, op) + the CURRENT
+  * payload schema, rows read distributed from the delta parquet files. The
+  * feed's completeness check (deltas folded away by compaction/overwrite)
+  * throws at scan time, so SQL consumers can never silently read a partial
+  * feed. */
+class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val changesSchema = StructType(
+    StructField("lsn", LongType, nullable = false) +:
+      StructField("op", StringType, nullable = true) +:
+      lakeTable.snapshot.schema.fields)
+
+  override def name(): String = s"${lakeTable.name}.changes_since_$sinceVersion"
+  override def schema(): StructType = changesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = changesSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = changesSchema
+            override def buildScan(): RDD[Row] = lakeTable.changesSince(sinceVersion).rdd
           }.asInstanceOf[T]
       }
     }

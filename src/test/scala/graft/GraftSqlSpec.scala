@@ -597,6 +597,33 @@ class GraftSqlSpec extends SparkSuite {
     assert(inner.contains("ReadSchema: struct<repo:string,path:string>"), inner)
   }
 
+  test("t.changes_since_<v> surfaces the CDC-out feed; folded feeds refuse at scan time") {
+    val cat = freshCatalog("feed")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t"
+    val t = LakeTable.load(spark, root, "t")
+    val engine = new ReplayEngine(t, t.snapshot.registry, mode = MergeMode.MoR)
+    import spark.implicits._
+    engine.applyEpoch(Seq((1L, "U", "a", "v1"), (2L, "U", "b", "v1"))
+      .toDF("lsn", "op", "k", "v"), 0)
+    val mark = t.snapshot.version
+    engine.applyEpoch(Seq((3L, "U", "a", "v2"), (4L, "D", "b", ""))
+      .toDF("lsn", "op", "k", "v"), 1)
+    val feed = spark.sql(
+      s"SELECT lsn, op, k FROM $cat.db.t.changes_since_$mark ORDER BY lsn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(feed == Seq((3L, "U", "a"), (4L, "D", "b")),
+      s"the SQL feed must carry epoch 1's winners incl. the tombstone: $feed")
+    // compaction folds the post-mark deltas: the SQL read must now refuse
+    t.compactDeltas()
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.t.changes_since_$mark").collect()
+    }
+    assert(e.getMessage.contains("no longer available") ||
+      Option(e.getCause).exists(_.getMessage.contains("no longer available")), e.getMessage)
+  }
+
   test("q39e end-to-end: partial-SET merge equals the relational oracle") {
     val got = ops.cdcq.sqlMergePartialSet(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
