@@ -340,10 +340,18 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = changesSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          new BaseRelation with TableScan {
+          new BaseRelation with TableScan with org.apache.spark.sql.sources.PrunedScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = changesSchema
             override def buildScan(): RDD[Row] = lakeTable.changesSince(sinceVersion).rdd
+            // column pruning reaches the delta parquet scans: a narrow
+            // `SELECT lsn, op FROM t.changes_since_v` never reads the wide
+            // payload columns
+            override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+              val df = lakeTable.changesSince(sinceVersion)
+              if (requiredColumns.isEmpty) df.rdd
+              else df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+            }
           }.asInstanceOf[T]
       }
     }
