@@ -64,9 +64,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * the UPDATE condition is left untouched.
   *
   * Any other form (PK assignments, ambiguous references, non-PK or
-  * tautological ON conditions, NOT MATCHED BY SOURCE) falls through to
-  * Spark's built-in path, whose error message names the unsupported
-  * feature. Register via `spark.sql.extensions = graft.sql.GraftExtensions`.
+  * tautological ON conditions, source-referencing third-leg conditions)
+  * falls through to Spark's built-in path, whose error message names the
+  * unsupported feature. Register via
+  * `spark.sql.extensions = graft.sql.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -96,7 +97,7 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
           // would collide, so such (contrived) schemas fall through
           val prefixClash = snap.schema.fieldNames.exists(_.startsWith(TgtPrefix)) ||
             source.output.exists(_.name.startsWith(TgtPrefix))
-          val canon = canonicalizer(target, tgtCols, source)
+          val canon = canonicalizer(target, tgtCols, source, keys.map(_.toLowerCase).toSet)
           (keyEquality(cond, keys), classifyMatched(matched, keys, tgtCols, canon),
             classifyInsert(notMatched, keys, tgtCols, canon),
             classifyBySource(notMatchedBySource, target, tgtCols, keys, source)) match {
@@ -237,7 +238,7 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     * or unknown — those shapes fall through to Spark's error instead of
     * silently picking a side. */
   private def canonicalizer(target: LogicalPlan, tgtCols: Set[String],
-      source: LogicalPlan): Expression => Option[Expression] = {
+      source: LogicalPlan, keys: Set[String]): Expression => Option[Expression] = {
     val tgtAlias = target match {
       case SubqueryAlias(id, _) => Some(id.name.toLowerCase)
       case _ => None
@@ -247,6 +248,12 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     val srcCols = source.output.map(_.name.toLowerCase).toSet
+    // a target ref to a KEY column resolves to the plain (probe-join-shared)
+    // column — the ON clause equates t.k and s.k, and key columns are never
+    // under TgtPrefix in the probe output
+    def tgtRef(n: String): UnresolvedAttribute =
+      if (keys(n.toLowerCase)) UnresolvedAttribute(Seq(n))
+      else UnresolvedAttribute(Seq(TgtPrefix + n))
     (e: Expression) => {
       var ok = true
       val out = e.transformUp {
@@ -254,19 +261,18 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
           val q = u.nameParts.init.mkString(".").toLowerCase
           val n = u.nameParts.last
           if (srcAlias.contains(q) && srcCols(n.toLowerCase)) UnresolvedAttribute(Seq(n))
-          else if (tgtAlias.contains(q) && tgtCols(n.toLowerCase))
-            UnresolvedAttribute(Seq(TgtPrefix + n))
+          else if (tgtAlias.contains(q) && tgtCols(n.toLowerCase)) tgtRef(n)
           else { ok = false; u }
         case u: UnresolvedAttribute =>
           val n = u.nameParts.head
           val inS = srcCols(n.toLowerCase)
           val inT = tgtCols(n.toLowerCase)
           if (inS && !inT) u
-          else if (inT && !inS) UnresolvedAttribute(Seq(TgtPrefix + n))
+          else if (inT && !inS) tgtRef(n)
           else { ok = false; u }
         case a: AttributeReference =>
           if (source.outputSet.contains(a)) UnresolvedAttribute(Seq(a.name))
-          else if (tgtCols(a.name.toLowerCase)) UnresolvedAttribute(Seq(TgtPrefix + a.name))
+          else if (tgtCols(a.name.toLowerCase)) tgtRef(a.name)
           else { ok = false; a }
       }
       if (ok && noSubquery(e)) Some(out) else None

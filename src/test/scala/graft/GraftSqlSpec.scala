@@ -158,6 +158,13 @@ class GraftSqlSpec extends SparkSuite {
           WHEN MATCHED AND s.n > 5 THEN UPDATE SET *""")
     val b = spark.sql(s"SELECT kind, n FROM $cat.db.t WHERE k = 'b'").collect()(0)
     assert(b.getString(0) == "star" && b.getLong(1) == 77L)
+    // a target KEY reference in an assignment value resolves to the
+    // probe-join-shared key column (the ON clause equates t.k and s.k)
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING (SELECT 'b' k) s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET kind = concat(t.k, '#')""")
+    assert(spark.sql(s"SELECT kind FROM $cat.db.t WHERE k = 'b'")
+      .collect()(0).getString(0) == "b#")
   }
 
   test("SQL MERGE NOT MATCHED BY SOURCE: full-sync + conditional + standalone delete leg") {
