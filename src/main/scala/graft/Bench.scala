@@ -187,6 +187,10 @@ object Bench {
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "4000000").toLong
     val cdcKeys = sys.env.getOrElse("SPARK_GRAFT_CDC_KEYS", "400000").toLong
     val cdcEpochs = sys.env.getOrElse("SPARK_GRAFT_CDC_EPOCHS", "8").toInt
+    // bucket count for the replay table: 32 (dense fused-stats path) by
+    // default; set 128+ to exercise the >64-bucket production shape
+    // (chunked per-bucket manifests + the narrow sparse stats pre-pass)
+    val cdcBuckets = sys.env.getOrElse("SPARK_GRAFT_CDC_BUCKETS", "32").toInt
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
     val runCdc = sys.env.getOrElse("SPARK_GRAFT_BENCH_CDC", "1") == "1"
 
@@ -241,7 +245,7 @@ object Bench {
           val v = sys.env.getOrElse("SPARK_GRAFT_CDC_VERIFY", "0") == "1"
           val m = if (sys.env.getOrElse("SPARK_GRAFT_CDC_MODE", "cow") == "mor") MergeMode.MoR
             else MergeMode.CoW
-          val (eps, t, _) = replayRun(p.toInt, input, perEpoch, cdcEpochs, buckets = 32,
+          val (eps, t, _) = replayRun(p.toInt, input, perEpoch, cdcEpochs, buckets = cdcBuckets,
             mode = m, verify = v)
           println(f"""{"cdc_only":$p,"eps":${eps}%.1f,"secs":${t}%.2f}""")
           return
@@ -269,12 +273,12 @@ object Bench {
           ((Double, Double, Double), (Double, Double, Double), Double) = {
         val nFirst = i % 2 == 0
         if (nFirst) {
-          val a = replayRun(nThreads, input, perEpoch, pairEpochs, buckets = 32, verify = verify)
-          val b = replayRun(nThreads * 4, input, perEpoch, pairEpochs, buckets = 32, verify = verify)
+          val a = replayRun(nThreads, input, perEpoch, pairEpochs, buckets = cdcBuckets, verify = verify)
+          val b = replayRun(nThreads * 4, input, perEpoch, pairEpochs, buckets = cdcBuckets, verify = verify)
           (a, b, b._1 / (4.0 * a._1))
         } else {
-          val b = replayRun(nThreads * 4, input, perEpoch, pairEpochs, buckets = 32, verify = verify)
-          val a = replayRun(nThreads, input, perEpoch, pairEpochs, buckets = 32, verify = verify)
+          val b = replayRun(nThreads * 4, input, perEpoch, pairEpochs, buckets = cdcBuckets, verify = verify)
+          val a = replayRun(nThreads, input, perEpoch, pairEpochs, buckets = cdcBuckets, verify = verify)
           (a, b, b._1 / (4.0 * a._1))
         }
       }
@@ -324,9 +328,9 @@ object Bench {
       val vEff = if (vSamples.isEmpty) 0.0 else trimmedMedian(vSamples.map(_._3))
       val vBestN = if (vSamples.isEmpty) 0.0 else vSamples.map(_._1._1).max
       val vBest4N = if (vSamples.isEmpty) 0.0 else vSamples.map(_._2._1).max
-      val (eps32, t32, _) = replayRun(32, input, perEpoch, cdcEpochs, buckets = 32)
+      val (eps32, t32, _) = replayRun(32, input, perEpoch, cdcEpochs, buckets = cdcBuckets)
       // merge-on-read mode headline: delta-append epochs + one compaction fold
-      val (epsMor32, tMor32, _) = replayRun(32, input, perEpoch, cdcEpochs, buckets = 32, mode = MergeMode.MoR)
+      val (epsMor32, tMor32, _) = replayRun(32, input, perEpoch, cdcEpochs, buckets = cdcBuckets, mode = MergeMode.MoR)
       headlineEps = math.max(eps32, epsMor32)
       cdcJson = f"""{"events":$cdcEvents,"epochs":$cdcEpochs,"keys":$cdcKeys,"n_threads":$nThreads,""" +
         f""""pair_events":$pairN,"pair_epochs":$pairEpochs,""" +
