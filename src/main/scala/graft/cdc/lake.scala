@@ -1100,10 +1100,22 @@ object lake {
       * incremental-feed store) — leave the property unset to schedule
       * compaction explicitly. */
     private def maybeAutoCompact(snap: Snapshot): Unit =
-      snap.properties.get("graft.mor.compactAfter").map(_.trim.toInt).foreach { k =>
-        val over = deltaCountsByBucket(snap).filter(_._2 > k).keySet
-        if (over.nonEmpty) { compactDeltas(Some(over)); () }
-      }
+      // BEST-EFFORT by contract: the delta commit this policy piggybacks on
+      // has already succeeded, so neither a malformed property value nor a
+      // fold failure (e.g. a commit conflict with a concurrent writer) may
+      // propagate — the caller's epoch write IS durable and a streaming
+      // batch must not be failed retroactively. The fold retries on the
+      // next over-threshold append.
+      snap.properties.get("graft.mor.compactAfter")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).foreach { k =>
+          try {
+            val over = deltaCountsByBucket(snap).filter(_._2 > k).keySet
+            if (over.nonEmpty) { compactDeltas(Some(over)); () }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              println(s"[graft] auto-compaction of $name deferred: ${e.getMessage}")
+          }
+        }
 
     /** Fold outstanding MoR delta files into base files (per-bucket CoW
       * rewrite; logical no-op, epoch fence untouched). `only` restricts the
@@ -1137,8 +1149,12 @@ object lake {
       * SOURCE for downstream incremental consumers. Only available while the
       * deltas are uncompacted (CoW epochs / compaction fold them away); pair
       * with a compaction policy that lags the downstream consumers. */
-    def changesSince(sinceVersion: Long): DataFrame = {
-      val cur = snapshot
+    def changesSince(sinceVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+      // `endVersion` pins the feed's upper bound to a specific snapshot
+      // (MVCC): a resolved SQL relation captures it at resolution time so a
+      // concurrent commit (or schema evolution) between resolution and scan
+      // can never change the rows or mis-bind the declared schema.
+      val cur = endVersion.map(snapshotAt).getOrElse(snapshot)
       val sinceSnap =
         try snapshotAt(sinceVersion)
         catch {

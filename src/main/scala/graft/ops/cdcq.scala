@@ -654,9 +654,12 @@ object cdcq {
     // Spark parses the TIMESTAMP AS OF literal in the SESSION time zone, so
     // render the commit millis in that zone (hard-coding UTC would pin a
     // shifted instant in any non-UTC session)
+    // ZoneId.of handles every id Spark accepts (region AND offset-style
+    // '+08:00') and throws on garbage; TimeZone.getTimeZone(String) would
+    // silently fall back to GMT for offset ids.
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone(
-      spark.conf.get("spark.sql.session.timeZone")))
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))))
     spark.sql(
       s"""SELECT 'ts_mid' AS label, count(*) AS n
           FROM $cat.db.repo_files TIMESTAMP AS OF '${fmt.format(new java.util.Date(ts))}'

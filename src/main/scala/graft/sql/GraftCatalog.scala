@@ -325,10 +325,15 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
   extends Table with SupportsRead {
   import org.apache.spark.sql.types._
 
+  // MVCC pin (same contract GraftTable documents): the snapshot version is
+  // captured at resolution and the scan resolves against IT, so a commit or
+  // schema evolution between resolution and execution can neither change
+  // the feed's rows nor mis-bind the declared relation schema.
+  private val pinnedSnap = lakeTable.snapshot
   private val changesSchema = StructType(
     StructField("lsn", LongType, nullable = false) +:
       StructField("op", StringType, nullable = true) +:
-      lakeTable.snapshot.schema.fields)
+      pinnedSnap.schema.fields)
 
   override def name(): String = s"${lakeTable.name}.changes_since_$sinceVersion"
   override def schema(): StructType = changesSchema
@@ -343,12 +348,13 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
           new BaseRelation with TableScan with org.apache.spark.sql.sources.PrunedScan {
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = changesSchema
-            override def buildScan(): RDD[Row] = lakeTable.changesSince(sinceVersion).rdd
+            override def buildScan(): RDD[Row] =
+              lakeTable.changesSince(sinceVersion, Some(pinnedSnap.version)).rdd
             // column pruning reaches the delta parquet scans: a narrow
             // `SELECT lsn, op FROM t.changes_since_v` never reads the wide
             // payload columns
             override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-              val df = lakeTable.changesSince(sinceVersion)
+              val df = lakeTable.changesSince(sinceVersion, Some(pinnedSnap.version))
               if (requiredColumns.isEmpty) df.rdd
               else df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
             }

@@ -554,10 +554,17 @@ case class GraftMergeCommand(
         src.join(tgtKeys, keys, "left")
           .withColumn(matchedCol, coalesce(col(matchedCol), lit(false)))
       }
-    val delC = deleteCondition.map(byName).getOrElse(lit(false))
-    val insC = insertCondition.map(byName).getOrElse(lit(true))
+    // ANSI: a leg condition that evaluates NULL does NOT fire — coalesce to
+    // false at definition so every consumer (the kept filter, opCol, the
+    // payload projection's update-vs-insert branch) sees the same three-
+    // valued-logic-free answer. Without this, `!delC` is NULL for a NULL
+    // delete condition and a matched row whose update condition passes
+    // would silently take the INSERT payload instead of its SET assignments.
+    val delC = deleteCondition.map(c => coalesce(byName(c), lit(false))).getOrElse(lit(false))
+    val insC = insertCondition.map(c => coalesce(byName(c), lit(false))).getOrElse(lit(true))
     // canonicalized (probe-ready) update condition — true when absent
-    val updC = matchedUpdate.flatMap(_.condition).map(Bridge.column).getOrElse(lit(true))
+    val updC = matchedUpdate.flatMap(_.condition)
+      .map(c => coalesce(Bridge.column(c), lit(false))).getOrElse(lit(true))
     // matched rows participate when the delete leg OR the update condition
     // admits them (a matched row passing neither is ANSI-untouched);
     // unmatched rows only when the insert condition admits them

@@ -167,6 +167,40 @@ class GraftSqlSpec extends SparkSuite {
       .collect()(0).getString(0) == "b#")
   }
 
+  test("SQL MERGE leg conditions that evaluate NULL do not fire (ANSI 3VL)") {
+    val cat = freshCatalog("mnull")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2)")
+    // 'a' arrives with op = NULL: the DELETE-leg condition s.op = 'delete'
+    // evaluates NULL — ANSI says the leg does not fire, so the row must take
+    // its UPDATE SET assignments (kind kept at the TARGET value), never the
+    // INSERT payload (the pre-fix silent-wrong-data path)
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'SRC' kind, CAST(NULL AS STRING) op, CAST(50 AS BIGINT) n
+                 UNION ALL SELECT 'z', 'fresh', 'keep', 9) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.op = 'delete' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n = t.n + s.n
+          WHEN NOT MATCHED THEN INSERT (k, kind, n) VALUES (s.k, s.kind, s.n)""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "x", 51L), ("b", "y", 2L), ("z", "fresh", 9L)), s"got $got")
+    // NULL update condition leaves the matched row UNTOUCHED; NULL insert
+    // condition drops the unmatched row
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'b' k, 'ign' kind, CAST(NULL AS STRING) op, CAST(100 AS BIGINT) n
+                 UNION ALL SELECT 'w', 'ign', NULL, 5) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.op = 'u' THEN UPDATE SET n = s.n
+          WHEN NOT MATCHED AND s.op = 'i' THEN INSERT (k, kind, n) VALUES (s.k, s.kind, s.n)""")
+    val after = spark.sql(s"SELECT k, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(after == Seq("a" -> 51L, "b" -> 2L, "z" -> 9L), s"got $after")
+  }
+
   test("SQL MERGE NOT MATCHED BY SOURCE: full-sync + conditional + standalone delete leg") {
     val cat = freshCatalog("mnmbs")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, v BIGINT)
@@ -336,7 +370,7 @@ class GraftSqlSpec extends SparkSuite {
     // the literal is parsed in the SESSION time zone — format in it
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone(
-      spark.conf.get("spark.sql.session.timeZone")))
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))))
     val lit1 = fmt.format(new java.util.Date(ts1))
     assert(spark.sql(s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '$lit1'").count() == 1,
       "the as-of read must see exactly the first insert's snapshot")
@@ -622,6 +656,14 @@ class GraftSqlSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(feed == Seq((3L, "U", "a"), (4L, "D", "b")),
       s"the SQL feed must carry epoch 1's winners incl. the tombstone: $feed")
+    // MVCC pin: a relation resolved BEFORE a later commit scans the snapshot
+    // it resolved against — epoch 2's row must not leak into it, while an
+    // unpinned re-resolution sees all three
+    val pinned = spark.sql(s"SELECT lsn FROM $cat.db.t.changes_since_$mark")
+    engine.applyEpoch(Seq((5L, "U", "c", "v1")).toDF("lsn", "op", "k", "v"), 2)
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L),
+      "resolved feed must stay pinned to its resolution-time snapshot")
+    assert(spark.sql(s"SELECT lsn FROM $cat.db.t.changes_since_$mark").count() == 3)
     // compaction folds the post-mark deltas: the SQL read must now refuse
     t.compactDeltas()
     val e = intercept[Exception] {
