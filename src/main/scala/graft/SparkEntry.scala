@@ -92,6 +92,7 @@ object SparkEntry {
     "q41b_stream_restart" -> (cdcq.streamReplayRestart _),
     "q42_change_feed" -> (cdcq.changeFeed _),
     "q42b_change_feed_sql" -> (cdcq.changeFeedSql _),
+    "q43_skipping_scan" -> (cdcq.skippingScan _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -600,6 +601,20 @@ object SparkEntry {
                 CAST(event_id AS VARCHAR) AS commit_id,
                 event_type AS lang, props AS content
          FROM w ORDER BY lsn""",
+    "q43_skipping_scan" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         t AS (SELECT 'r' || CAST(user_id % 50 AS VARCHAR) AS repo,
+                      'p/' || CAST(user_id AS VARCHAR) AS path,
+                      CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang
+               FROM c WHERE event_type <> 'error')
+         SELECT * FROM (
+           SELECT 'point' AS q, repo, path, commit_id, lang FROM t
+           WHERE repo = 'r7' AND path = 'p/7'
+           UNION ALL
+           SELECT 'multi' AS q, repo, path, commit_id, lang FROM t
+           WHERE repo IN ('r1','r2','r3') AND path IN ('p/1','p/2','p/3'))
+         ORDER BY q, repo, path""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

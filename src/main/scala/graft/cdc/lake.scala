@@ -59,7 +59,12 @@ object lake {
         * order-correct even when a later epoch redelivers stale LSNs.
         * false (json4s default) for pre-field manifests and for
         * append/overwrite files, whose rows read back at -1. */
-      rowLsn: Boolean = false)
+      rowLsn: Boolean = false,
+      /** Per-column min/max/nullCount harvested from the parquet footer at
+        * commit time ([[skipping.fromFooter]]) — the file-level data-skipping
+        * index. None on pre-field manifests (json4s default): such files are
+        * simply never skipped. */
+      stats: Option[Map[String, skipping.ColStats]] = None)
 
   /** Pointer to one bucket's immutable manifest file (chunked-manifest mode,
     * Iceberg's manifest-list idea minimized): `path` is root-relative, the
@@ -444,8 +449,45 @@ object lake {
     /** [[readBuckets]] plus the per-row `_lsn` system column — the internal
       * read the merge/compaction paths use so rewritten base files keep each
       * row's true log position (rows from lsn-less files surface -1). */
-    private def readBucketsWithLsn(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    private def readBucketsWithLsn(snap: Snapshot, buckets: Option[Set[Int]]): DataFrame =
+      readFilesWithLsn(snap, filesOfBuckets(snap, buckets))
+
+    /** Predicate-planned read: the scan's file list is pruned BEFORE any
+      * parquet is opened, on two levels —
+      *
+      *  1. '''Bucket pruning''': a conjunction that pins every key column to
+      *     literals (point lookup / IN list) resolves, driver-side, to the
+      *     exact buckets those key tuples hash to — a SQL
+      *     `WHERE repo = 'r' AND path = 'p'` against a 4096-bucket 100 TB
+      *     table plans one bucket's manifest and files, never the world.
+      *  2. '''File skipping''': within the planned buckets, base files whose
+      *     manifest column bounds refute the predicate are dropped. Only
+      *     delta-FREE buckets skip: a MoR delta row can carry a key's new
+      *     value outside its base file's bounds, and per-key resolution
+      *     crosses files — with no deltas, base rows ARE table rows, so
+      *     dropping a refuted file is exactly row-level filtering. (Bucket
+      *     pruning needs no such guard — a key's entire history lives in its
+      *     one bucket.)
+      *
+      * Every predicate is re-applied row-level above this scan (the V1
+      * relation keeps `unhandledFilters` = all), so both levels are pure
+      * I/O elision. */
+    def readWhere(snap: Snapshot, filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+      if (filters.isEmpty) return readBuckets(snap, None)
+      val buckets = skipping.bucketsForKeys(filters, snap.keyColumns, snap.schema, snap.numBuckets)
       val wanted = filesOfBuckets(snap, buckets)
+      val deltaBuckets = wanted.filter(_.kind == "delta").map(_.bucket).toSet
+      val kept = wanted.filter { f =>
+        f.kind == "delta" || deltaBuckets(f.bucket) || f.stats.forall(s =>
+          filters.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt)))
+      }
+      skipping.ScanStats.last.set(Some((
+        buckets.map(_.size).getOrElse(snap.numBuckets), snap.numBuckets,
+        kept.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))
+      readFilesWithLsn(snap, kept).drop("_lsn")
+    }
+
+    private def readFilesWithLsn(snap: Snapshot, wanted: Seq[DataFile]): DataFrame = {
       val base = readBase(snap, wanted.filter(_.kind == "base"))
       val deltaFiles = wanted.filter(_.kind == "delta")
       if (deltaFiles.isEmpty) base
@@ -557,9 +599,12 @@ object lake {
       paths.asJava.parallelStream().map[DataFile] { p =>
         val rel = Paths.get(root).relativize(p).toString
         val bucket = p.getParent.getFileName.toString.stripPrefix("_b=").toInt
+        // ONE footer read per file yields the row count AND the per-column
+        // skipping bounds — the commit pays no extra I/O for the stats index
+        val (rows, stats) = parquetFooterInfo(p)
         // lsn ranges are stamped post-hoc by callers (they know the batch stats)
-        DataFile(rel, bucket, parquetRowCount(p), Files.size(p), snap.schemaVersion,
-          -1L, -1L, kind, rowLsn = kind == "base" && withRowLsn)
+        DataFile(rel, bucket, rows, Files.size(p), snap.schemaVersion,
+          -1L, -1L, kind, rowLsn = kind == "base" && withRowLsn, stats = stats)
       }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
 
@@ -572,13 +617,15 @@ object lake {
       out.result()
     }
 
-    private def parquetRowCount(p: Path): Long = {
+    private def parquetFooterInfo(p: Path): (Long, Option[Map[String, skipping.ColStats]]) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       val conf = spark.sessionState.newHadoopConf()
       val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
       val r = ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
+      try (r.getRecordCount,
+        scala.util.Try(skipping.fromFooter(r.getFooter)).toOption.flatten)
+      finally r.close()
     }
 
     private def nowTs(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())

@@ -530,6 +530,30 @@ object cdcq {
           ORDER BY repo, path""")
   }
 
+  /** Data-skipping scan (file-level column bounds + key-hash bucket pruning)
+    * over the SQL-merged table: a point lookup that — asserted in-query —
+    * plans exactly ONE of the table's 16 buckets, plus an IN-list lookup,
+    * both value-checked against the relational oracle. At the 100 TB
+    * envelope this is the difference between a point read opening one
+    * bucket's surviving files and opening the world. */
+  def skippingScan(spark: SparkSession, dir: String): DataFrame = {
+    val cat = sqlMergeTable(spark, dir)
+    skipping.ScanStats.last.set(None)
+    val point = spark.sql(
+      s"""SELECT 'point' AS q, repo, path, commit_id, lang
+          FROM $cat.db.repo_files WHERE repo = 'r7' AND path = 'p/7'""")
+    point.collect()
+    val (b, bTot, f, fTot) = skipping.ScanStats.last.get()
+      .getOrElse(sys.error("the SQL scan must plan through readWhere"))
+    require(b == 1 && bTot == 16,
+      s"point lookup must plan exactly 1 of 16 buckets, planned $b/$bTot ($f/$fTot files)")
+    val multi = spark.sql(
+      s"""SELECT 'multi' AS q, repo, path, commit_id, lang
+          FROM $cat.db.repo_files
+          WHERE repo IN ('r1','r2','r3') AND path IN ('p/1','p/2','p/3')""")
+    point.unionByName(multi).orderBy("q", "repo", "path")
+  }
+
   /** SQL `UPDATE` + `DELETE FROM` through Catalyst (the GraftMergeRewrite
     * row-level lowerings): latest-per-user state is INSERTed into a catalog
     * table, low-value rows are UPDATEd to 'flagged', error rows DELETEd —

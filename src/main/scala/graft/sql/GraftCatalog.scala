@@ -340,23 +340,30 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  // column pruning must ride the ScanBuilder (SupportsPushDownRequiredColumns):
+  // through the V1ScanWrapper bridge Spark only drives plain buildScan(), so a
+  // V1 PrunedScan mixin would never be consulted. With this, a narrow
+  // `SELECT lsn, op FROM t.changes_since_v` never reads the wide payload
+  // columns of the delta parquet files.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = changesSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = requiredSchema
+      }
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = changesSchema
+        private val scanSchema = required
+        override def readSchema(): StructType = scanSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          new BaseRelation with TableScan with org.apache.spark.sql.sources.PrunedScan {
+          new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
-            override def schema: StructType = changesSchema
-            override def buildScan(): RDD[Row] =
-              lakeTable.changesSince(sinceVersion, Some(pinnedSnap.version)).rdd
-            // column pruning reaches the delta parquet scans: a narrow
-            // `SELECT lsn, op FROM t.changes_since_v` never reads the wide
-            // payload columns
-            override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+            override def schema: StructType = scanSchema
+            override def buildScan(): RDD[Row] = {
               val df = lakeTable.changesSince(sinceVersion, Some(pinnedSnap.version))
-              if (requiredColumns.isEmpty) df.rdd
-              else df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+              if (scanSchema.isEmpty) df.select().rdd
+              else df.select(scanSchema.fieldNames.toIndexedSeq
+                .map(org.apache.spark.sql.functions.col): _*).rdd
             }
           }.asInstanceOf[T]
       }
@@ -387,22 +394,52 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
-  /** Reads surface as a V1 relation WITH column pruning and best-effort
-    * filter pushdown: the pruned projection and translated predicates are
-    * applied to the lake's own DataFrame plan, where Catalyst pushes them
-    * into the underlying parquet scans (ReadSchema/PushedFilters) — a SQL
-    * `SELECT two_cols FROM t WHERE k = 'x'` against a 100 TB table reads two
-    * columns of the matching row groups, not the world. Spark re-applies all
-    * filters above us (default `unhandledFilters`), so partial translation
-    * is always safe. */
+  /** Reads surface as a V1 relation with REAL DSv2 pushdown: through the
+    * V1ScanWrapper bridge Spark only ever drives plain `TableScan.buildScan()`
+    * (V1 PrunedFilteredScan is never consulted — verified against the 4.1.2
+    * DataSourceV2Strategy bytecode), so predicates and the projection must be
+    * received on the ScanBuilder via SupportsPushDownFilters /
+    * SupportsPushDownRequiredColumns. The pushed filters then do three jobs,
+    * outermost first: (1) key-equality bucket pruning + file-level bounds
+    * skipping in [[graft.cdc.lake.LakeTable.readWhere]] — files that can't
+    * match are never opened; (2) row-level filtering inside the lake plan,
+    * which Catalyst pushes into the surviving parquet scans
+    * (PushedFilters/ReadSchema); (3) every filter is ALSO returned as
+    * post-scan, so Spark re-applies them above us and partial translation is
+    * always safe. A SQL `SELECT two_cols FROM t WHERE k = 'x'` against a
+    * 100 TB table plans one bucket's surviving files and reads two columns
+    * of their matching row groups, not the world. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var required: StructType = snap.schema
+
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        filters // ALL stay post-scan: skipping is I/O elision, never row logic
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = requiredSchema
+      }
+
       override def build(): Scan =
         new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-          override def readSchema(): StructType = snap.schema
+          private val scanFilters = pushed
+          private val scanSchema = required
+          override def readSchema(): StructType = scanSchema
           override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-            new GraftV1Relation(ctx, snap.schema,
-              () => table.readBuckets(snap, None)).asInstanceOf[T]
+            new GraftV1Relation(ctx, scanSchema, () => {
+              val base = table.readWhere(snap, scanFilters.toSeq)
+              val filtered = scanFilters
+                .flatMap(GraftV1Relation.translate).foldLeft(base)(_ filter _)
+              if (scanSchema.isEmpty) filtered.select()
+              else filtered.select(scanSchema.fieldNames.toIndexedSeq
+                .map(org.apache.spark.sql.functions.col): _*)
+            }).asInstanceOf[T]
 
           /** Table-level statistics from the snapshot alone — inline file
             * entries plus the rows/bytes sums the manifest refs carry, ZERO
@@ -428,28 +465,23 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         }
     }
 
-  /** V1 relation over the current lake DataFrame. TableScan satisfies the
-    * V1Scan bound; PrunedFilteredScan is what DataSourceStrategy actually
-    * drives when the query prunes or filters. */
+  /** V1 relation over one pre-planned lake DataFrame (skipping, row filters
+    * and projection already applied by the scan builder — through the
+    * V1ScanWrapper bridge only plain `buildScan()` is ever driven). */
   private class GraftV1Relation(ctx: SQLContext, tableSchema: StructType,
       df: () => org.apache.spark.sql.DataFrame)
-    extends BaseRelation with TableScan
-      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    extends BaseRelation with TableScan {
     override def sqlContext: SQLContext = ctx
     override def schema: StructType = tableSchema
     override def buildScan(): RDD[Row] = df().rdd
-    override def buildScan(requiredColumns: Array[String],
-        filters: Array[org.apache.spark.sql.sources.Filter]): RDD[Row] = {
-      val base = df()
-      val filtered = filters.flatMap(translateFilter).foldLeft(base)(_ filter _)
-      val pruned =
-        if (requiredColumns.isEmpty) filtered.select(org.apache.spark.sql.functions.lit(1))
-        else filtered.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      pruned.rdd
-    }
-    // default BaseRelation.unhandledFilters keeps every filter above us, so
-    // best-effort translation can never drop rows it shouldn't
-    private def translateFilter(
+  }
+
+  private object GraftV1Relation {
+    /** Best-effort source-filter → Column translation for row-level
+      * application inside the lake plan (reaches the parquet readers as
+      * PushedFilters). Untranslated filters are harmless — every pushed
+      * filter is also returned post-scan, so Spark re-applies it above. */
+    def translate(
         f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.sources._
@@ -463,9 +495,9 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         case IsNull(a) => Some(col(a).isNull)
         case IsNotNull(a) => Some(col(a).isNotNull)
         case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-        case And(l, r) => for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc && rc
-        case Or(l, r) => for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc || rc
-        case Not(c) => translateFilter(c).map(!_)
+        case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+        case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+        case Not(c) => translate(c).map(!_)
         case _ => None
       }
     }

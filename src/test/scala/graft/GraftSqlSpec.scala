@@ -693,6 +693,27 @@ class GraftSqlSpec extends SparkSuite {
       "fixture must exercise both the passing and the untouched branch")
   }
 
+  test("q43 end-to-end: skipping scan plans one bucket and matches the relational oracle") {
+    val got = ops.cdcq.skippingScan(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val t = ev.groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("event_id")), col("event_id")).as("e"))
+      .filter(col("e.event_type") =!= "error")
+      .select(concat(lit("r"), (col("user_id") % 50).cast("string")).as("repo"),
+        concat(lit("p/"), col("user_id").cast("string")).as("path"),
+        col("e.event_id").cast("string").as("commit_id"))
+    val expect = t.filter(col("repo") === "r7" && col("path") === "p/7")
+      .select(lit("point").as("q"), col("repo"), col("path"), col("commit_id"))
+      .unionByName(t.filter(col("repo").isin("r1", "r2", "r3") &&
+          col("path").isin("p/1", "p/2", "p/3"))
+        .select(lit("multi").as("q"), col("repo"), col("path"), col("commit_id")))
+      .orderBy("q", "repo", "path")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) == expect, s"got $got expect $expect")
+    assert(got.nonEmpty, "fixture must hit at least one live key")
+  }
+
   test("q39 end-to-end: SQL MERGE replay equals the engine replay") {
     val sqlState = ops.cdcq.sqlMerge(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
