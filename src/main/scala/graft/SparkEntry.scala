@@ -88,6 +88,7 @@ object SparkEntry {
     "q39d_sql_rowlevel" -> (cdcq.sqlRowLevel _),
     "q39e_sql_merge_partial" -> (cdcq.sqlMergePartialSet _),
     "q39f_sql_merge_fullsync" -> (cdcq.sqlMergeFullSync _),
+    "q39g_sql_merge_multileg" -> (cdcq.sqlMergeMultiLeg _),
     "q41_stream_replay" -> (cdcq.streamReplay _),
     "q41b_stream_restart" -> (cdcq.streamReplayRestart _),
     "q42_change_feed" -> (cdcq.changeFeed _),
@@ -620,6 +621,29 @@ object SparkEntry {
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
          SELECT user_id, event_type, value + 1000.0 AS value
          FROM c WHERE user_id % 2 = 0 AND event_type <> 'error'
+         ORDER BY user_id""",
+    // q39g: first-match cascade — matched (even ids): hot-update | DELETE |
+    // tail +1.0; not-matched (odd ids): new-hot | new(cnt) | dropped
+    "q39g_sql_merge_multileg" ->
+      """WITH c AS (SELECT user_id, event_type, value FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         m AS (SELECT user_id, max(value) AS maxv, count(*) AS cnt FROM events GROUP BY user_id),
+         mt AS (SELECT c.user_id,
+                       CASE WHEN m.maxv >= 220.0 THEN c.event_type || ':hot'
+                            ELSE c.event_type END AS event_type,
+                       CASE WHEN m.maxv >= 220.0 THEN m.maxv
+                            ELSE c.value + 1.0 END AS value
+                FROM c JOIN m ON c.user_id = m.user_id
+                WHERE c.user_id % 2 = 0
+                  AND NOT (m.maxv < 220.0 AND m.cnt >= 70)),
+         um AS (SELECT user_id,
+                       CASE WHEN maxv >= 220.0 THEN 'new-hot' ELSE 'new' END AS event_type,
+                       CASE WHEN maxv >= 220.0 THEN maxv
+                            ELSE CAST(cnt AS DOUBLE) END AS value
+                FROM m
+                WHERE user_id % 2 = 1 AND (maxv >= 220.0 OR cnt >= 60))
+         SELECT user_id, event_type, value FROM mt
+         UNION ALL SELECT user_id, event_type, value FROM um
          ORDER BY user_id""",
     "q31_cdc_schema_evolution" ->
       """WITH c AS (SELECT * FROM events

@@ -655,6 +655,51 @@ object cdcq {
     spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
   }
 
+  /** SQL MERGE with the full ANSI multi-leg cascade: three ordered
+    * conditional MATCHED legs (hot-update, DELETE, unconditional tail) and
+    * two ordered conditional NOT MATCHED legs with distinct payloads —
+    * first-match-wins everywhere. The target is seeded with EVEN user ids'
+    * latest state only, the source is per-user stats over ALL users, so
+    * every leg population is non-empty at sf0.01 (thresholds picked against
+    * the generator's cnt~[49,88], maxv<=~250 envelope). The oracle
+    * re-derives the cascade with disjoint CASE branches. */
+  def sqlMergeMultiLeg(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gml${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-multileg").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
+          TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"), col("e.value").as("value"))
+      .filter(col("user_id") % 2 === 0)
+      .writeTo(s"$cat.db.users").append()
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max(col("value")).as("maxv"), count(lit(1)).as("cnt"))
+      .createOrReplaceTempView(s"user_stats_$cat")
+    spark.sql(
+      s"""MERGE INTO $cat.db.users t
+          USING user_stats_$cat s
+          ON t.user_id = s.user_id
+          WHEN MATCHED AND s.maxv >= 220.0 THEN
+            UPDATE SET event_type = concat(t.event_type, ':hot'), value = s.maxv
+          WHEN MATCHED AND s.cnt >= 70 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET value = t.value + 1.0
+          WHEN NOT MATCHED AND s.maxv >= 220.0 THEN
+            INSERT (user_id, event_type, value) VALUES (s.user_id, 'new-hot', s.maxv)
+          WHEN NOT MATCHED AND s.cnt >= 60 THEN
+            INSERT (user_id, event_type, value) VALUES (s.user_id, 'new', CAST(s.cnt AS DOUBLE))""")
+    spark.sql(s"SELECT user_id, event_type, value FROM $cat.db.users ORDER BY user_id")
+  }
+
   /** SQL time travel over the merged table: `VERSION AS OF 1` = the state
     * after the first MERGE (v0 is the empty create), current = after both. */
   def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {

@@ -211,18 +211,23 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
 
   /** `SET *` / `INSERT *` reach this rule either still as star actions or
     * already expanded by ResolveReferences into identity assignment lists
-    * (t.col := s.col for every column) — accept both spellings. */
-  private def isIdentity(assigns: Seq[Assignment]): Boolean =
-    assigns.nonEmpty && assigns.forall { a =>
-      (nameOf(a.key), nameOf(a.value)) match {
-        case (Some(k), Some(v)) => k == v
-        case _ => false
+    * (t.col := s.col for every column) — accept both spellings. The
+    * expansion always covers EVERY target column, so full coverage is
+    * required: a user-written partial identity list (`SET n = s.n`) is a
+    * partial update that keeps the other columns, never a star. */
+  private def isIdentity(assigns: Seq[Assignment], tgtCols: Set[String]): Boolean =
+    assigns.nonEmpty &&
+      assigns.flatMap(a => nameOf(a.key)).toSet == tgtCols &&
+      assigns.forall { a =>
+        (nameOf(a.key), nameOf(a.value)) match {
+          case (Some(k), Some(v)) => k == v
+          case _ => false
+        }
       }
-    }
 
-  private def isUpdateAll(a: MergeAction): Boolean = a match {
+  private def isUpdateAll(a: MergeAction, tgtCols: Set[String]): Boolean = a match {
     case UpdateStarAction(None) => true
-    case UpdateAction(None, assigns, _) => isIdentity(assigns)
+    case UpdateAction(None, assigns, _) => isIdentity(assigns, tgtCols)
     case _ => false
   }
 
@@ -281,10 +286,17 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
 
   /** A supported partial-`SET` matched update: canonicalized per-column
     * assignments (lowercase target column -> expression) and an optional
-    * canonicalized leg condition. */
+    * canonicalized leg condition. `foldedDelete` carries a multi-leg fold's
+    * combined delete condition — here rather than in the command's
+    * `deleteCondition` field because it is CANONICALIZED (may reference
+    * TgtPrefix-renamed target columns, which only exist after the probe
+    * join): this case class is opaque to `QueryPlan.expressions`, so
+    * CheckAnalysis never tries to resolve its contents against the
+    * command's source child. */
   final case class PartialUpdateSpec(
       assignments: Seq[(String, Expression)],
-      condition: Option[Expression])
+      condition: Option[Expression],
+      foldedDelete: Option[Expression] = None)
 
   /** matched actions -> (delete condition, partial-update spec). The delete
     * condition (over source columns) is the op discriminator; a None spec
@@ -334,10 +346,10 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       case Seq(DeleteAction(c)) => Some((
         Some(c.getOrElse(Bridge.expression(lit(true)))),
         Some(PartialUpdateSpec(Nil, Some(Bridge.expression(lit(false)))))))
-      case Seq(u) if isUpdateAll(u) => Some((None, None))
-      case Seq(DeleteAction(c), u) if isUpdateAll(u) =>
+      case Seq(u) if isUpdateAll(u, tgtCols) => Some((None, None))
+      case Seq(DeleteAction(c), u) if isUpdateAll(u, tgtCols) =>
         Some((Some(c.getOrElse(Bridge.expression(lit(true)))), None))
-      case Seq(u, DeleteAction(c)) if isUpdateAll(u) =>
+      case Seq(u, DeleteAction(c)) if isUpdateAll(u, tgtCols) =>
         Some((Some(c.getOrElse(Bridge.expression(lit(false)))), None))
       case Seq(UpdateStarAction(Some(c))) => sourceAll(c).map(p => (None, Some(p)))
       case Seq(UpdateAction(cond, assigns, _)) =>
@@ -347,8 +359,63 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       case Seq(DeleteAction(c), UpdateAction(cond, assigns, _)) =>
         partial(assigns, cond).map(p =>
           (Some(c.getOrElse(Bridge.expression(lit(true)))), Some(p)))
+      // general multi-leg fold (first-match semantics): any ordered mix of
+      // conditional DELETE / UPDATE legs the special cases above don't
+      // cover. See foldMatched.
+      case legs if legs.nonEmpty => foldMatched(legs, tgtCols, keySet, canon, partial)
       case _ => None
     }
+  }
+
+  /** ANSI multi-leg matched fold: legs fire FIRST-MATCH, so each leg i gets
+    * the guard `cᵢ && !c₁ && … && !cᵢ₋₁` (conditions coalesced to false —
+    * ANSI 3VL: a NULL condition neither fires its leg nor blocks later
+    * ones). The delete condition becomes the OR of delete-leg guards; the
+    * update spec's condition the OR of update-leg guards; and each assigned
+    * column a `CASE WHEN guard → leg's expression ELSE target value` chain
+    * (guards are disjoint by construction, so CASE order is immaterial).
+    * Because leg conditions are canonicalized two-sided here, a folded
+    * DELETE condition may reference target columns — the probe fetches the
+    * target payload for it (returned canonical=true so the caller skips the
+    * raw-shape source-only check). */
+  private def foldMatched(legs: Seq[MergeAction], tgtCols: Set[String],
+      keySet: Set[String], canon: Expression => Option[Expression],
+      partial: (Seq[Assignment], Option[Expression]) => Option[PartialUpdateSpec])
+      : Option[(Option[Expression], Option[PartialUpdateSpec])] = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Literal, Not, Or}
+    val always: Expression = Bridge.expression(lit(true))
+    // per-leg: (canonical condition, None = delete | Some(assignments))
+    val parsed: Seq[Option[(Expression, Option[Seq[(String, Expression)]])]] = legs.map {
+      case DeleteAction(c) =>
+        c.map(canon).getOrElse(Some(always)).map(cc => (cc, None))
+      case UpdateStarAction(c) =>
+        c.map(canon).getOrElse(Some(always)).map(cc => (cc,
+          Some((tgtCols -- keySet).toSeq.sorted
+            .map(n => n -> (UnresolvedAttribute(Seq(n)): Expression)))))
+      case UpdateAction(c, assigns, _) =>
+        partial(assigns, c).map(spec =>
+          (spec.condition.getOrElse(always), Some(spec.assignments)))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val flat = parsed.flatten
+    def safe(e: Expression): Expression = Coalesce(Seq(e, Literal(false)))
+    val guards = flat.indices.map { i =>
+      (flat.take(i).map(l => Not(safe(l._1)): Expression) :+ safe(flat(i)._1))
+        .reduce(And(_, _))
+    }
+    val delC = guards.zip(flat).collect { case (g, (_, None)) => g }
+      .reduceOption(Or(_, _))
+    val updLegs = guards.zip(flat).collect { case (g, (_, Some(as))) => (g, as.toMap) }
+    val assignedCols = updLegs.flatMap(_._2.keys).distinct
+    val assignments: Seq[(String, Expression)] = assignedCols.map { f =>
+      val tgt: Expression = UnresolvedAttribute(Seq(TgtPrefix + f))
+      f -> (CaseWhen(updLegs.map { case (g, m) => g -> m.getOrElse(f, tgt) }, Some(tgt))
+        : Expression)
+    }
+    val updC = updLegs.map(_._1).reduceOption(Or(_, _))
+      .getOrElse(Bridge.expression(lit(false)))
+    Some((None, Some(PartialUpdateSpec(assignments, Some(updC), foldedDelete = delC))))
   }
 
   /** not-matched actions -> (condition, partial-assignment list). One
@@ -383,16 +450,63 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
     notMatched match {
       case Seq() => Some((Some(Bridge.expression(lit(false))), None))
       case Seq(InsertStarAction(c)) => Some((c, None))
-      case Seq(InsertAction(c, assigns)) if isIdentity(assigns) => Some((c, None))
+      case Seq(InsertAction(c, assigns)) if isIdentity(assigns, tgtCols) => Some((c, None))
       case Seq(InsertAction(c, assigns)) => partial(assigns, c)
-      case _ => None
+      // multi-leg fold (first-match): each leg i gets the guard
+      // cᵢ && !c₁ && … && !cᵢ₋₁ (conditions coalesced to false); the
+      // combined insert condition is the OR of guards and each column a
+      // CASE over the legs' payloads — star legs take the source column,
+      // partial legs their (source-only) expression or NULL when unlisted.
+      // Conditions stay RAW (source-qualified), so the caller's
+      // source-only gate still applies to the folded condition.
+      case legs if legs.nonEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Literal, Not, Or}
+        val parsed: Seq[Option[(Expression, Option[Map[String, Expression]])]] = legs.map {
+          case InsertStarAction(c) =>
+            Some((c.getOrElse(Bridge.expression(lit(true))), None))
+          case InsertAction(c, assigns) if isIdentity(assigns, tgtCols) =>
+            Some((c.getOrElse(Bridge.expression(lit(true))), None))
+          case InsertAction(c, assigns) =>
+            partial(assigns, None).map { case (_, valueAssigns) =>
+              (c.getOrElse(Bridge.expression(lit(true))),
+                Some(valueAssigns.getOrElse(Nil).toMap))
+            }
+          case _ => None
+        }
+        if (parsed.exists(_.isEmpty)) return None
+        val flat = parsed.flatten
+        def safe(e: Expression): Expression = Coalesce(Seq(e, Literal(false)))
+        val guards = flat.indices.map { i =>
+          (flat.take(i).map(l => Not(safe(l._1)): Expression) :+ safe(flat(i)._1))
+            .reduce(And(_, _))
+        }
+        // guards embedded in the payload CASEs are applied directly to the
+        // probe-joined frame (no byName pass like the returned condition
+        // gets) — strip qualifiers here; source-only-ness of the raw
+        // conditions is still enforced on the returned combined condition
+        val stripped = guards.map(_.transformUp {
+          case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        })
+        val anyStar = flat.exists(_._2.isEmpty)
+        val cols =
+          if (anyStar) (tgtCols -- keySet).toSeq.sorted
+          else flat.flatMap(_._2.map(_.keys.toSeq).getOrElse(Nil)).distinct
+        val nullLit: Expression = Bridge.expression(lit(null))
+        val assignments: Seq[(String, Expression)] = cols.map { f =>
+          f -> (CaseWhen(stripped.zip(flat).map { case (g, (_, aOpt)) =>
+            g -> aOpt.map(_.getOrElse(f, nullLit))
+              .getOrElse(UnresolvedAttribute(Seq(f)): Expression)
+          }, None): Expression)
+        }
+        Some((Some(guards.reduce(Or(_, _))), Some(assignments)))
     }
   }
 
   /** True when a canonicalized expression still references a TARGET column
     * (TgtPrefix-renamed) — invalid in insert-leg values, where no target
     * row exists. */
-  private def referencesTarget(e: Expression): Boolean = e.exists {
+  private[sql] def referencesTarget(e: Expression): Boolean = e.exists {
     case u: UnresolvedAttribute => u.nameParts.head.startsWith(TgtPrefix)
     case _ => false
   }
@@ -542,11 +656,16 @@ case class GraftMergeCommand(
         // pruned probe exists to avoid)
         GraftMergeCommand.lastProbe.set(Some(
           (probeFiles.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))
-        // target payload is fetched only when a non-empty assignment list
-        // can reference it — an empty spec (untouched/delete-only matched
-        // legs) never emits a target-valued row, so the probe stays key-only
+        // target payload is fetched only when an assignment list or a
+        // canonicalized leg condition can reference it — an empty spec with
+        // source-only conditions (untouched/delete-only matched legs) never
+        // needs a target-valued row, so the probe stays key-only
+        val needsTargetPayload = matchedUpdate.exists(s =>
+          s.assignments.nonEmpty ||
+            s.condition.exists(GraftMergeRewrite.referencesTarget) ||
+            s.foldedDelete.exists(GraftMergeRewrite.referencesTarget))
         val probeCols = keys.map(col) ++
-          (if (matchedUpdate.exists(_.assignments.nonEmpty))
+          (if (needsTargetPayload)
             nonKey.map(f => col(f.name).as(GraftMergeRewrite.TgtPrefix + f.name))
           else Nil)
         val tgtKeys = table.readBuckets(snap, Some(touched))
@@ -560,7 +679,13 @@ case class GraftMergeCommand(
     // valued-logic-free answer. Without this, `!delC` is NULL for a NULL
     // delete condition and a matched row whose update condition passes
     // would silently take the INSERT payload instead of its SET assignments.
-    val delC = deleteCondition.map(c => coalesce(byName(c), lit(false))).getOrElse(lit(false))
+    // a multi-leg fold carries its (canonicalized, possibly target-
+    // referencing) delete condition inside the spec; single-leg shapes keep
+    // the raw source-only condition on the command
+    val delC = matchedUpdate.flatMap(_.foldedDelete)
+      .map(c => coalesce(Bridge.column(c), lit(false)))
+      .orElse(deleteCondition.map(c => coalesce(byName(c), lit(false))))
+      .getOrElse(lit(false))
     val insC = insertCondition.map(c => coalesce(byName(c), lit(false))).getOrElse(lit(true))
     // canonicalized (probe-ready) update condition — true when absent
     val updC = matchedUpdate.flatMap(_.condition)

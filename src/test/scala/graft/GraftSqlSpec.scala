@@ -201,6 +201,103 @@ class GraftSqlSpec extends SparkSuite {
     assert(after == Seq("a" -> 51L, "b" -> 2L, "z" -> 9L), s"got $after")
   }
 
+  test("SQL MERGE multi-leg: ordered conditional UPDATE legs fire first-match") {
+    val cat = freshCatalog("mmulti")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2),('c','z',3),('d','w',4)")
+    // three matched legs, first-match: s.n >= 100 wins over s.n >= 10 wins
+    // over the unconditional tail; non-assigned columns keep TARGET values
+    // per leg; a NULL condition skips its leg without blocking later ones
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, CAST(500 AS BIGINT) n
+                 UNION ALL SELECT 'b', 50
+                 UNION ALL SELECT 'c', 5
+                 UNION ALL SELECT 'd', NULL
+                 UNION ALL SELECT 'e', 70) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.n >= 100 THEN UPDATE SET kind = 'big'
+          WHEN MATCHED AND s.n >= 10 THEN UPDATE SET kind = 'mid', n = t.n + s.n
+          WHEN MATCHED THEN UPDATE SET n = coalesce(s.n, -1)
+          WHEN NOT MATCHED THEN INSERT (k, kind, n) VALUES (s.k, 'ins', s.n)""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a", "big", 1L),   // leg 1: kind only, n keeps target
+      ("b", "mid", 52L),  // leg 2: two-sided assignment
+      ("c", "z", 5L),     // tail: n from source, kind keeps target
+      ("d", "w", -1L),    // NULL condition falls through to the tail
+      ("e", "ins", 70L)), s"got $got")
+  }
+
+  test("SQL MERGE multi-leg: DELETE between UPDATE legs; target-ref delete condition") {
+    val cat = freshCatalog("mdel")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1),('b','y',2),('c','z',3),('d','w',4)")
+    // archive leg SHADOWS the delete leg (first-match), delete shadows the tail
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, 'archive' op, CAST(10 AS BIGINT) n
+                 UNION ALL SELECT 'b', 'delete', 20
+                 UNION ALL SELECT 'c', 'other', 30) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.op = 'archive' THEN UPDATE SET kind = 'archived'
+          WHEN MATCHED AND s.op = 'delete' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n = s.n""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "archived", 1L), ("c", "z", 30L), ("d", "w", 4L)), s"got $got")
+    // a folded DELETE condition may reference the TARGET (canonicalized path)
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'a' k, CAST(100 AS BIGINT) n
+                 UNION ALL SELECT 'c', CAST(0 AS BIGINT)) s
+          ON t.k = s.k
+          WHEN MATCHED AND t.n < s.n THEN DELETE
+          WHEN MATCHED AND s.n >= 0 THEN UPDATE SET kind = 'kept'
+          WHEN MATCHED THEN UPDATE SET kind = 'other'""")
+    val after = spark.sql(s"SELECT k, kind FROM $cat.db.t ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    // 'a' (t.n=1 < 100) deleted; 'c' (t.n=30 >= 0) kept
+    assert(after == Seq("c" -> "kept", "d" -> "w"), s"got $after")
+  }
+
+  test("SQL MERGE multi-leg: ordered NOT MATCHED legs pick first-match payloads") {
+    val cat = freshCatalog("minsmulti")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, n BIGINT)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','x',1)")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'p' k, 'new' op, 'kp' kind, CAST(5 AS BIGINT) n
+                 UNION ALL SELECT 'q', 'other', 'kq', 60
+                 UNION ALL SELECT 'r', 'other', 'kr', 10
+                 UNION ALL SELECT 'a', 'other', 'ka', 99) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET n = s.n
+          WHEN NOT MATCHED AND s.op = 'new' THEN INSERT (k, kind) VALUES (s.k, 'fresh')
+          WHEN NOT MATCHED AND s.n > 50 THEN INSERT (k, kind, n) VALUES (s.k, s.kind, s.n)""")
+    val got = spark.sql(s"SELECT k, kind, n FROM $cat.db.t ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) -99L else r.getLong(2))).toSeq
+    // p: leg 1 (kind='fresh', n NULL-filled); q: leg 2 (source payload);
+    // r: neither leg -> dropped; a: matched update
+    assert(got == Seq(("a", "x", 99L), ("p", "fresh", -99L), ("q", "kq", 60L)), s"got $got")
+    // star + partial mixed multi-insert
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+          USING (SELECT 'u' k, 'su' kind, CAST(200 AS BIGINT) n
+                 UNION ALL SELECT 'v', 'sv', 1) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET n = s.n
+          WHEN NOT MATCHED AND s.n > 100 THEN INSERT *
+          WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n + 1000)""")
+    val ins = spark.sql(s"SELECT k, kind, n FROM $cat.db.t WHERE k IN ('u','v') ORDER BY k")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(ins == Seq(("u", Some("su"), 200L), ("v", None, 1001L)), s"got $ins")
+  }
+
   test("SQL MERGE NOT MATCHED BY SOURCE: full-sync + conditional + standalone delete leg") {
     val cat = freshCatalog("mnmbs")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, kind STRING, v BIGINT)
