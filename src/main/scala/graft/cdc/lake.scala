@@ -1196,7 +1196,8 @@ object lake {
       * SOURCE for downstream incremental consumers. Only available while the
       * deltas are uncompacted (CoW epochs / compaction fold them away); pair
       * with a compaction policy that lags the downstream consumers. */
-    def changesSince(sinceVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+    def changesSince(sinceVersion: Long, endVersion: Option[Long] = None,
+        filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
       // `endVersion` pins the feed's upper bound to a specific snapshot
       // (MVCC): a resolved SQL relation captures it at resolution time so a
       // concurrent commit (or schema evolution) between resolution and scan
@@ -1222,7 +1223,47 @@ object lake {
       // delta-only resolution: manifests without delta files are never read
       val before = filesOfBuckets(sinceSnap, None, deltaOnly = true).map(_.path).toSet
       val newDeltas = filesOfBuckets(cur, None, deltaOnly = true).filterNot(f => before(f.path))
-      readDeltas(cur, newDeltas)
+      // file skipping on the FEED: a narrow tail (`WHERE lsn >= x`, an
+      // op-filtered or payload-filtered read) plans only the delta files
+      // that may match. Two independent refuters, both may-match safe:
+      // the manifest's exact per-file lsn stamps (present even when footer
+      // stats are not) and the harvested per-column footer bounds evaluated
+      // against the feed schema (lsn, op, payload...). Unlike the base-table
+      // path this needs no delta-free guard: feed rows ARE delta-file rows,
+      // no cross-file resolution happens here.
+      val kept =
+        if (filters.isEmpty) newDeltas
+        else {
+          val feedSchema = StructType(
+            StructField("lsn", LongType, nullable = false) +:
+              StructField("op", StringType, nullable = true) +: cur.schema.fields)
+          def lsnRangeOk(f: DataFile, flt: org.apache.spark.sql.sources.Filter): Boolean = {
+            import org.apache.spark.sql.sources._
+            def v(a: Any): Option[Long] = a match {
+              case n: Number => Some(n.longValue); case _ => None
+            }
+            if (f.lsnMin < 0) true // unstamped: never prune
+            else flt match {
+              case EqualTo("lsn", x) => v(x).forall(l => f.lsnMin <= l && l <= f.lsnMax)
+              case GreaterThan("lsn", x) => v(x).forall(l => f.lsnMax > l)
+              case GreaterThanOrEqual("lsn", x) => v(x).forall(l => f.lsnMax >= l)
+              case LessThan("lsn", x) => v(x).forall(l => f.lsnMin < l)
+              case LessThanOrEqual("lsn", x) => v(x).forall(l => f.lsnMin <= l)
+              case In("lsn", xs) if xs != null && xs.nonEmpty =>
+                xs.flatMap(v).exists(l => f.lsnMin <= l && l <= f.lsnMax)
+              case And(l, r) => lsnRangeOk(f, l) && lsnRangeOk(f, r)
+              case Or(l, r) => lsnRangeOk(f, l) || lsnRangeOk(f, r)
+              case _ => true
+            }
+          }
+          newDeltas.filter { f =>
+            filters.forall(flt => lsnRangeOk(f, flt)) &&
+              f.stats.forall(s =>
+                filters.forall(flt => skipping.mayMatch(s, f.rows, feedSchema, flt)))
+          }
+        }
+      skipping.ScanStats.lastFeed.set(Some((kept.size, newDeltas.size)))
+      readDeltas(cur, kept)
     }
 
     // ---- maintenance ------------------------------------------------------

@@ -340,5 +340,8 @@ object skipping {
     * [[lake.LakeTable.readWhere]]. */
   object ScanStats {
     val last = new java.util.concurrent.atomic.AtomicReference[Option[(Int, Int, Int, Int)]](None)
+    /** (filesRead, filesTotal) of the last filter-pruned change-feed scan
+      * planned by [[lake.LakeTable.changesSince]]. */
+    val lastFeed = new java.util.concurrent.atomic.AtomicReference[Option[(Int, Int)]](None)
   }
 }

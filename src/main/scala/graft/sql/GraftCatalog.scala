@@ -340,19 +340,31 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  // column pruning must ride the ScanBuilder (SupportsPushDownRequiredColumns):
-  // through the V1ScanWrapper bridge Spark only drives plain buildScan(), so a
-  // V1 PrunedScan mixin would never be consulted. With this, a narrow
-  // `SELECT lsn, op FROM t.changes_since_v` never reads the wide payload
-  // columns of the delta parquet files.
+  // pruning and predicates must ride the ScanBuilder (SupportsPushDown*):
+  // through the V1ScanWrapper bridge Spark only drives plain buildScan(), so
+  // V1 PrunedScan/PrunedFilteredScan mixins would never be consulted. With
+  // this, a narrow `SELECT lsn, op FROM t.changes_since_v WHERE lsn >= x`
+  // (the canonical incremental tail) plans only the delta FILES whose
+  // manifest lsn stamps / footer bounds may match — O(matching delta files),
+  // not O(feed) — and never reads the wide payload columns. Every filter is
+  // also returned post-scan, so partial translation is always safe.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       private var required: StructType = changesSchema
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        filters // ALL stay post-scan: file skipping is I/O elision only
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit = {
         required = requiredSchema
       }
       override def build(): Scan = new V1Scan {
+        private val scanFilters = pushed
         private val scanSchema = required
         override def readSchema(): StructType = scanSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
@@ -360,7 +372,12 @@ class GraftChangesTable(lakeTable: lake.LakeTable, sinceVersion: Long)
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = scanSchema
             override def buildScan(): RDD[Row] = {
-              val df = lakeTable.changesSince(sinceVersion, Some(pinnedSnap.version))
+              val base = lakeTable.changesSince(
+                sinceVersion, Some(pinnedSnap.version), scanFilters.toSeq)
+              // row-level filtering inside the lake plan: Catalyst pushes
+              // the translated predicates into the surviving parquet scans
+              val df = scanFilters
+                .flatMap(GraftV1Relation.translate).foldLeft(base)(_ filter _)
               if (scanSchema.isEmpty) df.select().rdd
               else df.select(scanSchema.fieldNames.toIndexedSeq
                 .map(org.apache.spark.sql.functions.col): _*).rdd
@@ -476,33 +493,6 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     override def buildScan(): RDD[Row] = df().rdd
   }
 
-  private object GraftV1Relation {
-    /** Best-effort source-filter → Column translation for row-level
-      * application inside the lake plan (reaches the parquet readers as
-      * PushedFilters). Untranslated filters are harmless — every pushed
-      * filter is also returned post-scan, so Spark re-applies it above. */
-    def translate(
-        f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
-      import org.apache.spark.sql.functions.col
-      import org.apache.spark.sql.sources._
-      f match {
-        case EqualTo(a, v) => Some(col(a) === v)
-        case GreaterThan(a, v) => Some(col(a) > v)
-        case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-        case LessThan(a, v) => Some(col(a) < v)
-        case LessThanOrEqual(a, v) => Some(col(a) <= v)
-        case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
-        case IsNull(a) => Some(col(a).isNull)
-        case IsNotNull(a) => Some(col(a).isNotNull)
-        case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-        case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
-        case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
-        case Not(c) => translate(c).map(!_)
-        case _ => None
-      }
-    }
-  }
-
   /** SupportsOverwrite (not just truncate) because the advertised
     * OVERWRITE_BY_FILTER capability routes filtered overwrites here: a
     * full-table filter set becomes truncate-overwrite, anything else is
@@ -530,4 +520,32 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
           }
       }
     }
+}
+
+/** Best-effort source-filter → Column translation for row-level application
+  * inside the lake plan (reaches the parquet readers as PushedFilters),
+  * shared by the table and change-feed scans. Untranslated filters are
+  * harmless — every pushed filter is also returned post-scan, so Spark
+  * re-applies it above. */
+private[sql] object GraftV1Relation {
+  def translate(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === v)
+      case GreaterThan(a, v) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+      case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+      case Not(c) => translate(c).map(!_)
+      case _ => None
+    }
+  }
 }

@@ -770,6 +770,43 @@ class GraftSqlSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("no longer available")), e.getMessage)
   }
 
+  test("SQL change feed prunes delta FILES by pushed lsn/op predicates") {
+    val cat = freshCatalog("feedprune")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/t"
+    val t = LakeTable.load(spark, root, "t")
+    val engine = new ReplayEngine(t, t.snapshot.registry, mode = MergeMode.MoR)
+    import spark.implicits._
+    val mark = t.snapshot.version
+    // three epochs with disjoint lsn ranges -> >= 3 delta files in the feed
+    engine.applyEpoch(Seq((1L, "U", "a", "v1"), (2L, "U", "b", "v1"))
+      .toDF("lsn", "op", "k", "v"), 0)
+    engine.applyEpoch(Seq((3L, "U", "a", "v2"), (4L, "U", "c", "v1"))
+      .toDF("lsn", "op", "k", "v"), 1)
+    engine.applyEpoch(Seq((5L, "U", "b", "v2"), (6L, "D", "c", ""))
+      .toDF("lsn", "op", "k", "v"), 2)
+    // narrow tail: only epoch 2's delta files may match lsn >= 5
+    val tail = spark.sql(
+      s"SELECT lsn, op, k FROM $cat.db.t.changes_since_$mark WHERE lsn >= 5 ORDER BY lsn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(tail == Seq((5L, "U", "b"), (6L, "D", "c")), s"got $tail")
+    val (read, total) = graft.cdc.skipping.ScanStats.lastFeed.get().get
+    assert(total >= 3, s"fixture must produce several delta files, got $total")
+    assert(read < total && read >= 1,
+      s"lsn >= 5 must prune earlier epochs' delta files: read $read of $total")
+    // op discriminator: only files whose footer op-bounds admit 'D' are read
+    val dels = spark.sql(
+      s"SELECT lsn, k FROM $cat.db.t.changes_since_$mark WHERE op = 'D'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dels == Seq((6L, "c")), s"got $dels")
+    val (readD, totalD) = graft.cdc.skipping.ScanStats.lastFeed.get().get
+    assert(readD < totalD,
+      s"op = 'D' must prune all-update delta files: read $readD of $totalD")
+    // an unfiltered read still sees everything (pruning is I/O elision only)
+    assert(spark.sql(s"SELECT lsn FROM $cat.db.t.changes_since_$mark").count() == 6)
+  }
+
   test("q39e end-to-end: partial-SET merge equals the relational oracle") {
     val got = ops.cdcq.sqlMergePartialSet(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
