@@ -160,6 +160,48 @@ object cdcq {
           FROM $cat.db.repo_files.changes_since_$sinceVersion ORDER BY lsn""")
   }
 
+  /** Streaming CDC-out end-to-end (q44): an upstream MoR replay produces the
+    * change feed; a `format("graft-changes")` stream tails it (offset =
+    * snapshot version) and [[streaming.replayStream]] applies each
+    * micro-batch into an independent DOWNSTREAM lake table — feed rows carry
+    * exactly the (lsn, op, payload) change shape the CDC-in engine consumes,
+    * so CDC-out composes with CDC-in end-to-end. The tail is drained TWICE on
+    * one checkpoint (mid-replay and after), proving incremental offsets; the
+    * downstream table must equal the upstream replay — same relational
+    * oracle as q30. */
+  def changeFeedStream(spark: SparkSession, dir: String): DataFrame = {
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val upRoot = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-up").toString
+    val downRoot = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-dn").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-ck").toString
+    val up = LakeTable.createIfNotExists(spark, upRoot, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val upEngine = new ReplayEngine(up, SchemaRegistry.single(tableSchema),
+      mode = ingest.MergeMode.MoR)
+    val down = LakeTable.createIfNotExists(spark, downRoot, "repo_files",
+      tableSchema, Seq("repo", "path"), numBuckets = 16)
+    val downEngine = new ReplayEngine(down, SchemaRegistry.single(tableSchema))
+    def drainFeed(): Unit = {
+      val feed = spark.readStream.format("graft-changes")
+        .option("path", upRoot).option("startingVersion", "earliest").load()
+      val q = streaming.replayStream(feed, downEngine, ck)
+      q.awaitTermination(120000)
+    }
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      upEngine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      if (e == 1) drainFeed() // mid-replay drain: checkpoint holds a mid-log offset
+    }
+    changes.unpersist()
+    drainFeed() // second drain on the SAME checkpoint picks up only epochs 2-3
+    down.read()
+      .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("content"))
+      .orderBy(col("repo"), col("path"))
+  }
+
   /** Streaming replay end-to-end (SURVEY §2.8): the change stream laid out as
     * an epoch-ordered file tail — with deterministic stale REDELIVERIES of
     * earlier-epoch events seeded into later files — drained by ONE

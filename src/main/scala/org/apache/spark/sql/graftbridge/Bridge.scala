@@ -15,4 +15,13 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame as a STREAMING frame (`isStreaming = true`) —
+    * the V1 `Source.getBatch` contract. Same private[sql]
+    * `internalCreateDataFrame` Spark's own FileStreamSource uses; the plan
+    * stays lazy (`toRdd` builds the RDD, nothing runs until the sink). */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }
