@@ -1327,6 +1327,48 @@ object lake {
       buckets.size
     }
 
+    /** Change the table's hash-bucket count — the one layout knob fixed at
+      * create time. A growing table eventually outgrows its bucket count
+      * (per-bucket rewrite amplification is table size / numBuckets), so
+      * 32 → 256 must be a maintenance op, not a re-create. Logical no-op:
+      * one full CoW rewrite (ONE wide shuffle on the new bucket hash +
+      * bucket-aligned write — the same cost envelope as a dense merge
+      * epoch), epoch fence untouched, so in-flight CDC replay/streaming
+      * continues across it unchanged. Outstanding MoR deltas are absorbed
+      * by the rewrite (the fused read applies them), so their lsn range
+      * folds into foldedLsnHigh exactly like compaction. Per-row `_lsn`
+      * stamps survive the rewrite; the new files' lsn RANGES are the old
+      * files' global envelope (per-bucket ranges can't be mapped across the
+      * hash change without a per-row pass — conservative ranges only cost
+      * pruning selectivity, never correctness). Chunked-manifest mode
+      * re-evaluates against the NEW count (a 32 → 256 rebucket flips the
+      * table into chunked commits automatically). Returns the new snapshot
+      * version. */
+    def rebucket(newBuckets: Int): Long = synchronized {
+      val cur = snapshot
+      require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
+      if (newBuckets == cur.numBuckets) return cur.version // already there: no-op
+      val reshaped = cur.copy(numBuckets = newBuckets)
+      val olds = filesOf(cur)
+      val oldDeltas = olds.filter(_.kind == "delta")
+      // fused read (base ⊕ deltas, row lsn kept) under the OLD layout,
+      // rewritten under the NEW bucket hash
+      val data = readBucketsWithLsn(cur, None)
+      val stamped = olds.filter(_.lsnMin >= 0)
+      val (lo, hi) =
+        if (stamped.isEmpty) (-1L, -1L)
+        else (stamped.map(_.lsnMin).min, stamped.map(_.lsnMax).max)
+      val newFiles = writeBucketed(data, reshaped, cur.version + 1, withRowLsn = true)
+        .map(_.copy(lsnMin = lo, lsnMax = hi))
+      // every old bucket is removed; nextFileState runs against the NEW
+      // shape so the chunked/inline decision tracks the new count
+      val (nf, nm) = nextFileState(reshaped, (0 until cur.numBuckets).toSet, newFiles)
+      val next = reshaped.copy(version = cur.version + 1, files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, oldDeltas))
+      require(commit(next, fence = false), "rebucket commit failed")
+      next.version
+    }
+
     /** Garbage-collect: drop all snapshots except the newest `keepSnapshots`
       * and delete every data file no kept snapshot references, plus orphan
       * files from crashed writes. Returns (#manifests removed, #files removed). */

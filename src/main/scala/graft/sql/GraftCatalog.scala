@@ -41,7 +41,7 @@ import graft.cdc.lake
   * (manifest-pruned parquet scans under the hood), so re-implementing a
   * partition-reader layer would duplicate what `LakeTable.read` compiles to.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -214,6 +214,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+
+  // ---- maintenance procedures (CALL g.system.<proc>(...)) ------------------
+
+  /** `CALL <catalog>.system.compact|compact_deltas|vacuum|expire_snapshots|
+    * rebucket(...)` — SQL lifecycle surface over the programmatic
+    * maintenance ops (see [[GraftProcedures]]). The `table` argument is a
+    * catalog-relative name (`'db.t'` or `'t'`). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system"))))
+      throw new RuntimeException(
+        s"procedures live under the 'system' namespace: CALL $catalogName.system.${ident.name()}(...)")
+    GraftProcedures.load(ident.name(), resolveTableRef).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure '${ident.name()}'; available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** Resolve a procedure's catalog-relative `'db.t'` / `'t'` table argument
+    * to its lake table (same layout rule as `rootOf`). */
+  private def resolveTableRef(ref: String): lake.LakeTable = {
+    val parts = ref.split("\\.").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table reference '$ref'")
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    lake.LakeTable.load(spark, rootOf(ident), ident.name())
+  }
 
   // ---- namespaces (directories under the warehouse) ------------------------
 

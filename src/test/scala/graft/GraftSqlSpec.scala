@@ -624,6 +624,47 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT v FROM $cat.db.t2").collect()(0).getString(0) == "2")
   }
 
+  test("CALL g.system.*: SQL maintenance procedures drive the full table lifecycle") {
+    val cat = freshCatalog("proc")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='2')""")
+    // two appends -> multi-file buckets -> compact folds them
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('a','1'), ('b','2'), ('c','3'), ('d','4')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES ('e','5'), ('f','6'), ('g','7'), ('h','8')")
+    assert(spark.sql(s"SHOW PROCEDURES IN $cat").collect().map(_.getString(3)).toSet ==
+      graft.sql.GraftProcedures.names.toSet)
+    // named-argument CALL with the default min_files
+    val compacted = spark.sql(s"CALL $cat.system.compact(`table` => 'db.t')")
+    assert(compacted.schema.fieldNames.toSeq == Seq("buckets_compacted"))
+    assert(compacted.collect()(0).getInt(0) > 0, "multi-file buckets must fold")
+    // positional CALL; vacuum drops the superseded snapshots
+    val vac = spark.sql(s"CALL $cat.system.vacuum('db.t', 1)").collect()(0)
+    assert(vac.getInt(0) > 0 && vac.getInt(1) > 0, s"vacuum must GC: $vac")
+    // no deltas outstanding -> compact_deltas reports zero
+    assert(spark.sql(s"CALL $cat.system.compact_deltas('db.t')").collect()(0).getInt(0) == 0)
+    // age-based retention with a huge window removes nothing
+    val exp = spark.sql(s"CALL $cat.system.expire_snapshots('db.t', 9999)").collect()(0)
+    assert(exp.getInt(0) == 0 && exp.getInt(1) == 0)
+    // rebucket through SQL; data + point lookups survive on the new layout
+    val reb = spark.sql(s"CALL $cat.system.rebucket('db.t', 8)").collect()(0)
+    assert(reb.getInt(1) == 8)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0).getLong(0) == 8L)
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE k = 'f'").collect()(0).getString(0) == "6")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .exists(r => r.getString(0) == "buckets" && r.getString(1) == "8"))
+    // unknown procedure / wrong namespace refuse with the available list
+    // (Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
+    // actionable message rides the cause chain)
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e1 = intercept[Exception](spark.sql(s"CALL $cat.system.nope('db.t')"))
+    assert(chain(e1).contains("available"), chain(e1))
+    val e2 = intercept[Exception](spark.sql(s"CALL $cat.db.compact('db.t')"))
+    assert(chain(e2).contains("system"), chain(e2))
+    // a procedure against a missing table surfaces the standard error
+    intercept[Exception](spark.sql(s"CALL $cat.system.compact('db.missing')"))
+  }
+
   test("SQL ALTER TABLE: additive ADD COLUMNS + properties; destructive changes refused") {
     val cat = freshCatalog("alter")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)

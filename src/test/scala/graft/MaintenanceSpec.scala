@@ -155,6 +155,56 @@ class MaintenanceSpec extends SparkSuite {
       "manifests must migrate back inline")
   }
 
+  test("rebucket: 4 -> 128 flips layout+chunking, absorbs deltas, merge continues exactly") {
+    val cfg = gen.GenConfig(n = 12000, nKeys = 1500, deletePct = 10, numPartitions = 4)
+    val root = tmpDir("rebucket")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val mor = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      mode = MergeMode.MoR)
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 4000), 0)
+    val mark = table.snapshot.version // pre-delta snapshot, for the folded-loss check
+    mor.applyEpoch(all.filter(col("lsn") >= 4000 && col("lsn") < 8000), 1)
+    val before = table.snapshot
+    assert(table.filesOf(before).exists(_.kind == "delta"), "setup must leave MoR deltas")
+    // same-count rebucket is a no-op (no rewrite, no commit)
+    assert(table.rebucket(4) == before.version)
+    val v = table.rebucket(128)
+    val snap = table.snapshot
+    assert(v == before.version + 1 && snap.version == v)
+    assert(snap.numBuckets == 128)
+    assert(snap.epochId == before.epochId, "rebucket must not advance the epoch fence")
+    // >64 buckets: the table flips into chunked-manifest commits automatically
+    assert(snap.files.isEmpty && snap.manifests.nonEmpty, "128-bucket table must be chunked")
+    val newFiles = table.filesOf(snap)
+    assert(newFiles.nonEmpty && newFiles.forall(_.kind == "base"),
+      "the rewrite must absorb outstanding deltas")
+    assert(newFiles.forall(f => f.bucket >= 0 && f.bucket < 128))
+    // absorbed deltas fold into the high-watermark: a feed older than the
+    // fold must REFUSE (silent loss otherwise), the current feed stays fine
+    assert(snap.foldedLsnHigh.exists(_ >= 7000L))
+    intercept[Exception](table.changesSince(mark).count())
+    assert(table.changesSince(snap.version).count() == 0)
+    // fence intact: a replay of epoch 1 after the rebucket is a no-op
+    assert(!mor.applyEpoch(all.filter(col("lsn") >= 4000 && col("lsn") < 8000), 1).committed)
+    // merge continues on the new layout (CoW epoch over 128 buckets)
+    engine.applyEpoch(all.filter(col("lsn") >= 8000), 2)
+    val exp = gen.oracleFinalState(cfg)
+    def golden(t: LakeTable): Unit = {
+      val got = t.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      assert(got.size == exp.size, s"got ${got.size}, expected ${exp.size}")
+      exp.foreach { case (k, e) => assert(got.get(k).contains(gen.sha256Hex(e.content))) }
+    }
+    golden(table)
+    // a fresh handle resolves the rebucketed table from disk identically
+    golden(LakeTable.load(spark, root, "t"))
+    // pre-rebucket snapshots still time-travel under their OLD layout
+    assert(table.readAt(mark).count() > 0)
+  }
+
   test("4096-bucket manifests: commit is O(touched buckets), untouched refs carried by reference") {
     import org.json4s.NoTypeHints
     import org.json4s.jackson.Serialization
