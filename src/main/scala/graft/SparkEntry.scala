@@ -95,6 +95,7 @@ object SparkEntry {
     "q42b_change_feed_sql" -> (cdcq.changeFeedSql _),
     "q43_skipping_scan" -> (cdcq.skippingScan _),
     "q44_change_feed_stream" -> (cdcq.changeFeedStream _),
+    "q45_rebucket_replay" -> (cdcq.replayRebucket _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -618,6 +619,14 @@ object SparkEntry {
            WHERE repo IN ('r1','r2','r3') AND path IN ('p/1','p/2','p/3'))
          ORDER BY q, repo, path""",
     "q44_change_feed_stream" ->
+      """WITH c AS (SELECT * FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,
+                concat('p/', CAST(user_id AS VARCHAR)) AS path,
+                CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
+         FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    // q45: rebucket mid-replay is a logical no-op — same final state as q30
+    "q45_rebucket_replay" ->
       """WITH c AS (SELECT * FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
          SELECT concat('r', CAST(user_id % 50 AS VARCHAR)) AS repo,

@@ -202,6 +202,62 @@ object cdcq {
       .orderBy(col("repo"), col("path"))
   }
 
+  /** Rebucket mid-replay (q45): the bucket-count lifecycle op under live
+    * ingest. Epochs 0-1 apply merge-on-read against a 16-bucket catalog
+    * table (leaving outstanding delta files); `CALL cat.system.rebucket`
+    * rewrites the table to 64 buckets THROUGH SQL — absorbing the deltas,
+    * leaving the epoch fence untouched — and epochs 2-3 then apply against
+    * the new layout through the SAME engine handle (MVCC: the handle picks
+    * the rebucketed snapshot up from `_CURRENT`). Final state must equal
+    * the plain q30 replay — the rebucket is a logical no-op by contract,
+    * and this query makes that contract oracle-checked end-to-end. The
+    * layout change itself is asserted in-query (buckets 16 -> 64, no
+    * surviving deltas, fence intact), so a silently-skipped rebucket fails
+    * the query rather than trivially matching the oracle. */
+  def replayRebucket(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"grb${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-rb-sql").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.repo_files")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.repo_files
+          (repo STRING, path STRING, commit_id STRING, lang STRING, content STRING)
+          TBLPROPERTIES ('primary_key'='repo,path', 'buckets'='16')""")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/repo_files"
+    val table = LakeTable.load(spark, root, "repo_files")
+    val engine = new ReplayEngine(table, table.snapshot.registry,
+      mode = ingest.MergeMode.MoR)
+    val changes = asChanges(spark, dir).cache()
+    val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
+    val epochs = 4
+    val per = (maxLsn + epochs) / epochs
+    (0 until epochs).foreach { e =>
+      engine.applyEpoch(
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+      if (e == 1) {
+        val before = table.snapshot
+        require(table.filesOf(before).exists(_.kind == "delta"),
+          "q45 setup must leave MoR deltas for the rebucket to absorb")
+        val res = spark.sql(s"CALL $cat.system.rebucket('db.repo_files', 64)").collect()(0)
+        require(res.getInt(1) == 64, s"rebucket must report the new count: $res")
+        val snap = table.snapshot
+        require(snap.numBuckets == 64, "the engine handle must see the rebucketed layout")
+        require(snap.epochId == before.epochId, "rebucket must not advance the epoch fence")
+        require(table.filesOf(snap).forall(_.kind == "base"),
+          "the rebucket rewrite must absorb outstanding deltas")
+      }
+    }
+    changes.unpersist()
+    table.compactDeltas()
+    spark.sql(
+      s"""SELECT repo, path, commit_id, lang, content
+          FROM $cat.db.repo_files ORDER BY repo, path""")
+  }
+
   /** Streaming replay end-to-end (SURVEY §2.8): the change stream laid out as
     * an epoch-ordered file tail — with deterministic stale REDELIVERIES of
     * earlier-epoch events seeded into later files — drained by ONE
