@@ -205,6 +205,46 @@ class MaintenanceSpec extends SparkSuite {
     assert(table.readAt(mark).count() > 0)
   }
 
+  test("rebucket losing a commit race fails loudly; state intact, orphans swept, retry works") {
+    val cfg = gen.GenConfig(n = 6000, nKeys = 900, deletePct = 10, numPartitions = 4)
+    val root = tmpDir("rebucket-race")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 3000), 0)
+    val s = table.snapshot
+    val hashBefore = table.read().agg(sum(crc32(concat_ws("|", col("repo"), col("path"),
+      sha2(col("content"), 256))))).collect()(0).getLong(0)
+    // a concurrent writer claims the next manifest mid-commit-window (the
+    // same simulation as ConvergenceSpec's fail-if-exists test): the
+    // rebucket must LOSE — loudly, never silently replacing the claim
+    val vPath = java.nio.file.Paths.get(root, "meta", f"v${s.version + 1}%016d.json")
+    java.nio.file.Files.writeString(vPath,
+      org.json4s.jackson.Serialization.write(s.copy(version = s.version + 1, epochId = 9))(
+        org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)))
+    val loser = LakeTable.load(spark, root, "t")
+    intercept[Exception](loser.rebucket(64))
+    // _CURRENT never moved; the table still reads its committed state under
+    // the OLD layout, and the aborted rewrite's files are mere orphans
+    assert(table.snapshot.version == s.version && table.snapshot.numBuckets == 4)
+    assert(table.read().agg(sum(crc32(concat_ws("|", col("repo"), col("path"),
+      sha2(col("content"), 256))))).collect()(0).getLong(0) == hashBefore)
+    // clear the simulated winner; vacuum sweeps the aborted rewrite's files
+    java.nio.file.Files.delete(vPath)
+    val (_, orphans) = table.vacuum(keepSnapshots = Int.MaxValue)
+    assert(orphans > 0, "the failed rebucket's uncommitted files must sweep as orphans")
+    // the retry succeeds, and a STALE pre-race engine handle merges on the
+    // new layout straight to the oracle state
+    assert(table.rebucket(64) == s.version + 1)
+    engine.applyEpoch(all.filter(col("lsn") >= 3000), 1)
+    val exp = gen.oracleFinalState(cfg)
+    val got = table.read().select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got.size == exp.size, s"got ${got.size}, expected ${exp.size}")
+    exp.foreach { case (k, e) => assert(got.get(k).contains(gen.sha256Hex(e.content))) }
+  }
+
   test("4096-bucket manifests: commit is O(touched buckets), untouched refs carried by reference") {
     import org.json4s.NoTypeHints
     import org.json4s.jackson.Serialization
