@@ -96,6 +96,7 @@ object SparkEntry {
     "q43_skipping_scan" -> (cdcq.skippingScan _),
     "q44_change_feed_stream" -> (cdcq.changeFeedStream _),
     "q45_rebucket_replay" -> (cdcq.replayRebucket _),
+    "q46_spj_join" -> (cdcq.spjJoin _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -633,6 +634,16 @@ object SparkEntry {
                 concat('p/', CAST(user_id AS VARCHAR)) AS path,
                 CAST(event_id AS VARCHAR) AS commit_id, event_type AS lang, props AS content
          FROM c WHERE event_type <> 'error' ORDER BY repo, path""",
+    // q46: storage-partitioned join — latest-per-user x per-user totals on
+    // the shared key; the Spark side asserts the shuffle-free plan in-query
+    "q46_spj_join" ->
+      """WITH l AS (SELECT user_id, event_type FROM events
+                    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         s AS (SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+               FROM events GROUP BY user_id)
+         SELECT l.user_id, l.event_type, s.n_events, s.total_value
+         FROM l JOIN s ON l.user_id = s.user_id
+         ORDER BY l.user_id""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -866,4 +866,55 @@ object cdcq {
       .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("value_cents"))
       .orderBy(col("repo"), col("path"))
   }
+
+  /** Storage-partitioned join (GraftSpj): two single-key graft tables —
+    * latest event per user, and per-user totals — joined on their shared
+    * primary key through plain SQL. With the scans reporting the lake's
+    * bucket layout as KeyGroupedPartitioning, Catalyst plans the join with
+    * ZERO hash Exchanges (asserted in-query on the executed plan): at
+    * 100 TB this deletes the shuffle of BOTH join inputs, the dominant cost
+    * of any key-aligned star join. The oracle re-derives both sides from
+    * the raw events and joins them in DuckDB. */
+  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gspj${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-spjq").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    Seq("user_latest", "user_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.db.$t"))
+    spark.sql(s"""CREATE TABLE $cat.db.user_latest (user_id BIGINT, event_type STRING)
+                  TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    spark.sql(s"""CREATE TABLE $cat.db.user_stats (user_id BIGINT, n_events BIGINT, total_value DOUBLE)
+                  TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    events.groupBy("user_id")
+      .agg(max_by(col("event_type"), col("event_id")).as("event_type"))
+      .writeTo(s"$cat.db.user_latest").append()
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .writeTo(s"$cat.db.user_stats").append()
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.user_id, l.event_type, s.n_events, s.total_value
+            FROM $cat.db.user_latest l JOIN $cat.db.user_stats s ON l.user_id = s.user_id
+            ORDER BY l.user_id""")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("graft keyed scan"),
+        s"q46 must take the storage-partitioned scan path:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q46 join must plan shuffle-free under KeyGroupedPartitioning:\n$plan")
+      joined.collect() // execute under the pinned confs
+      joined
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

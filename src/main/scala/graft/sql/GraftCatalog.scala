@@ -41,7 +41,8 @@ import graft.cdc.lake
   * (manifest-pruned parquet scans under the hood), so re-implementing a
   * partition-reader layer would duplicate what `LakeTable.read` compiles to.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -233,6 +234,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  // ---- V2 functions (storage-partitioned join support) ---------------------
+
+  /** The one catalog function: `bucket(numBuckets, key...)` — Catalyst
+    * resolves the keyed scan's reported bucket transform through here to
+    * prove two graft scans co-partitioned (see [[GraftSpj]]). Accepted at
+    * the root and under `system`, matching where Spark's transform
+    * resolution (empty namespace) and humans (`cat.system.bucket`) look. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val nsOk = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
+    val nm = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (nsOk && nm == "bucket") GraftBucketFunction
+    else if (nsOk && nm.startsWith("graft_bucket_") && nm.drop(13).forall(_.isDigit)
+        && nm.length > 13)
+      // composite-key layout hash, bucket count baked into the name (GraftSpj)
+      new GraftNamedBucketFunction(nm.drop(13).toInt)
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
     else Array.empty
 
   /** Resolve a procedure's catalog-relative `'db.t'` / `'t'` table argument
@@ -474,7 +499,16 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         required = requiredSchema
       }
 
-      override def build(): Scan =
+      override def build(): Scan = {
+        // Native keyed-scan path (storage-partitioned reads, GraftSpj):
+        // when every live file is a base file on the current schema
+        // version, read the buckets directly and REPORT the bucket layout
+        // as KeyGroupedPartitioning — key-aligned joins/aggregations then
+        // plan without an Exchange. MoR deltas or old-schema files need
+        // the fused merge / conform logic, which lives on the V1 relation
+        // path below — the general fallback, bit-identical results.
+        if (GraftSpj.eligible(table.spark, snap, table.filesOf(snap)))
+          return new GraftKeyedScan(table, snap, required, pushed.toSeq)
         new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           private val scanFilters = pushed
           private val scanSchema = required
@@ -511,6 +545,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
                 else java.util.OptionalLong.empty()
             }
         }
+      }
     }
 
   /** V1 relation over one pre-planned lake DataFrame (skipping, row filters

@@ -24,4 +24,42 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** Build Spark's own parquet row reader (the exact reader FileScanRDD
+    * drives) for the storage-partitioned DSv2 scan: one serializable
+    * `PartitionedFile => Iterator[InternalRow]` closure, vectorization and
+    * row-group filter pushdown included. `buildReaderWithPartitionValues`
+    * is private[sql], hence this bridge. NOTE the returned iterator's
+    * elements are `ColumnarBatch`es (type-erased) when the vectorized
+    * reader kicks in — callers must unwrap (see GraftSpj). */
+  def parquetReader(spark: SparkSession, dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = cs,
+        dataSchema = dataSchema,
+        partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+        requiredSchema = requiredSchema,
+        filters = filters,
+        // row-wise output: the DSv2 PartitionReader contract here is
+        // InternalRow; the vectorized decoder still runs underneath
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = cs.sessionState.newHadoopConf())
+  }
+
+  def partitionedFile(absPath: String, bytes: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      partitionValues = org.apache.spark.sql.catalyst.InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(absPath),
+      start = 0L,
+      length = bytes,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = bytes)
 }

@@ -1,0 +1,180 @@
+package graft
+
+/** Storage-partitioned reads (graft.sql.GraftSpj): the lake's hash-bucket
+  * layout reported through DSv2 KeyGroupedPartitioning so key-aligned SQL
+  * joins and aggregations plan WITHOUT an Exchange.
+  *
+  * Plan-shape pins use the EnsureRequirements output (the AQE initial plan
+  * string): SPJ is decided there, not at runtime.
+  */
+class SpjSpec extends SparkSuite {
+
+  private def freshCatalog(tag: String): String = {
+    val cat = s"spj$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir(s"wh-spj-$tag"))
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    cat
+  }
+
+  /** Run `body` with SPJ-relevant session confs pinned, restoring after. */
+  private def withSpj[A](enabled: Boolean = true)(body: => A): A = {
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.graft.spj.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", enabled.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.spj.enabled", "true")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def hasHashExchange(sql: String): Boolean =
+    planOf(sql).linesIterator.exists(_.contains("Exchange hashpartitioning"))
+
+  private def rowsOf(sql: String): Seq[String] =
+    spark.sql(sql).collect().map(_.toString).toSeq.sorted
+
+  test("single-key co-partitioned join and full-key aggregation plan zero Exchange") {
+    val cat = freshCatalog("j1")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='8')")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, w STRING) TBLPROPERTIES ('primary_key'='k','buckets'='8')")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT id, concat('a', id) FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT id, concat('b', id) FROM range(0, 800)")
+    withSpj() {
+      val join = s"SELECT a.k, a.v, b.w FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k"
+      val agg = s"SELECT k, count(*) c FROM $cat.db.a GROUP BY k"
+      // the keyed scan is in the plan, and no Exchange of ANY kind in the join
+      assert(planOf(join).contains("graft keyed scan"), "keyed scan path not taken")
+      assert(!planOf(join).contains("Exchange"), s"SPJ join still shuffles:\n${planOf(join)}")
+      assert(!hasHashExchange(agg), s"full-key agg still shuffles:\n${planOf(agg)}")
+      // self-join co-partitions too (same scan both sides)
+      val self = s"SELECT x.k, y.v FROM $cat.db.a x JOIN $cat.db.a y ON x.k = y.k"
+      assert(!planOf(self).contains("Exchange hashpartitioning"))
+      // results match the non-SPJ path bit-for-bit
+      val spjRows = rowsOf(join)
+      val refRows = withSpj(enabled = false)(rowsOf(join))
+      assert(spjRows == refRows && spjRows.length == 800)
+    }
+  }
+
+  test("mismatched bucket counts and partial-key grouping stay correct (shuffle allowed)") {
+    val cat = freshCatalog("j2")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='8')")
+    spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT, w STRING) TBLPROPERTIES ('primary_key'='k','buckets'='16')")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT id, concat('a', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $cat.db.b SELECT id, concat('b', id) FROM range(0, 400)")
+    withSpj() {
+      val join = s"SELECT a.k, b.w FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k"
+      assert(spark.sql(join).count() == 400)
+      val partial = s"SELECT k, count(*) c FROM $cat.db.a WHERE k < 10 GROUP BY k"
+      assert(spark.sql(partial).count() == 10)
+    }
+  }
+
+  test("composite keys: correct results; stock Spark 4.1 cannot SPJ multi-column transforms") {
+    val cat = freshCatalog("ck")
+    spark.sql(s"CREATE TABLE $cat.db.c (k1 BIGINT, k2 STRING, v STRING) TBLPROPERTIES ('primary_key'='k1,k2','buckets'='8')")
+    spark.sql(s"CREATE TABLE $cat.db.d (k1 BIGINT, k2 STRING, w STRING) TBLPROPERTIES ('primary_key'='k1,k2','buckets'='8')")
+    spark.sql(s"INSERT INTO $cat.db.c SELECT id % 100, concat('s', id % 7), concat('c', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $cat.db.d SELECT id % 80, concat('s', id % 7), concat('d', id) FROM range(0, 400)")
+    withSpj() {
+      val join = s"SELECT c.k1, c.k2, d.w FROM $cat.db.c c JOIN $cat.db.d d ON c.k1 = d.k1 AND c.k2 = d.k2"
+      val spjRows = rowsOf(join)
+      assert(spjRows == withSpj(enabled = false)(rowsOf(join)))
+      // KeyGroupedPartitioning$.isSupportedTransform (spark-catalyst 4.1.2
+      // bytecode) requires TransformExpression.children.size == 1, so the
+      // composite graft_bucket_N(k1,k2) transform is reported but ignored
+      // and the join shuffles. If this pin ever FAILS, Spark gained
+      // multi-column SPJ — delete the assertion and celebrate.
+      assert(hasHashExchange(join))
+    }
+  }
+
+  test("eligibility fallback: MoR deltas and pre-evolution files read via the V1 path") {
+    val cat = freshCatalog("el")
+    spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='4')")
+    spark.sql(s"INSERT INTO $cat.db.m SELECT id, concat('x', id) FROM range(0, 100)")
+    withSpj() {
+      // base-only snapshot: keyed scan eligible
+      assert(planOf(s"SELECT * FROM $cat.db.m").contains("graft keyed scan"))
+      // outstanding MoR delta files (engine-API deltaAppend at the same
+      // root) need the fused max-LSN merge -> V1 path
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val t = graft.cdc.lake.LakeTable.load(spark, s"$wh/db/m", "m")
+      import spark.implicits._
+      val delta = Seq((3L, "y3", 1L, "U"), (200L, "y200", 2L, "U"))
+        .toDF("k", "v", "lsn", "op")
+      assert(t.deltaAppend(delta, epochId = 100).committed)
+      assert(t.snapshot.files.exists(_.kind == "delta"), "precondition: deltas outstanding")
+      val p = planOf(s"SELECT * FROM $cat.db.m")
+      assert(!p.contains("graft keyed scan"), s"MoR snapshot must not take the keyed scan:\n$p")
+      assert(spark.sql(s"SELECT v FROM $cat.db.m WHERE k = 3").collect()
+        .map(_.getString(0)).toSeq == Seq("y3"))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.m").collect()(0).getLong(0) == 101)
+      // compaction folds the deltas -> keyed scan eligible again
+      assert(t.compactDeltas() > 0)
+      assert(planOf(s"SELECT * FROM $cat.db.m").contains("graft keyed scan"))
+      assert(spark.sql(s"SELECT v FROM $cat.db.m WHERE k = 200").collect()
+        .map(_.getString(0)).toSeq == Seq("y200"))
+      // old-schema files after ADD COLUMNS need conform-on-read -> V1 path
+      val cat2 = freshCatalog("el2")
+      spark.sql(s"CREATE TABLE $cat2.db.s (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='4')")
+      spark.sql(s"INSERT INTO $cat2.db.s SELECT id, concat('x', id) FROM range(0, 10)")
+      spark.sql(s"ALTER TABLE $cat2.db.s ADD COLUMNS (extra INT)")
+      val p2 = planOf(s"SELECT * FROM $cat2.db.s")
+      assert(!p2.contains("graft keyed scan"))
+      assert(spark.sql(s"SELECT * FROM $cat2.db.s WHERE extra IS NULL").count() == 10)
+      // disabling the flag forces the V1 path with identical results
+      spark.conf.set("spark.graft.spj.enabled", "false")
+      try {
+        val p3 = planOf(s"SELECT * FROM $cat.db.m")
+        assert(!p3.contains("graft keyed scan"))
+      } finally spark.conf.set("spark.graft.spj.enabled", "true")
+    }
+  }
+
+  test("keyed scan still bucket-prunes point lookups and supports empty read schemas") {
+    val cat = freshCatalog("pr")
+    spark.sql(s"CREATE TABLE $cat.db.a (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='8')")
+    spark.sql(s"INSERT INTO $cat.db.a SELECT id, concat('a', id) FROM range(0, 1000)")
+    withSpj() {
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.a").collect()(0).getLong(0) == 1000)
+      graft.cdc.skipping.ScanStats.last.set(None)
+      val got = spark.sql(s"SELECT v FROM $cat.db.a WHERE k = 7").collect()
+      assert(got.length == 1 && got(0).getString(0) == "a7")
+      val Some((bucketsRead, bucketsTotal, filesRead, _)) = graft.cdc.skipping.ScanStats.last.get()
+      assert(bucketsRead == 1 && bucketsTotal == 8, s"point lookup read $bucketsRead/$bucketsTotal buckets")
+      assert(filesRead <= 1)
+      // residual filters are re-applied above the scan (pushdown is row-group
+      // elision only): a predicate parquet can't fully evaluate stays correct
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.a WHERE k >= 990 AND v != 'a991'")
+        .collect()(0).getLong(0) == 9)
+    }
+  }
+
+  test("catalog bucket functions match the write layout hash exactly") {
+    val cat = freshCatalog("fn")
+    // parity oracle: the layout hash is pmod(hash(keys), nb) (lake.bucketExpr)
+    val expected = spark.sql(
+      "SELECT pmod(hash(CAST(7 AS BIGINT)), 8), pmod(hash(CAST(7 AS BIGINT), 's3'), 8)").collect()(0)
+    val viaFn = spark.sql(
+      s"SELECT $cat.system.bucket(8, CAST(7 AS BIGINT)), $cat.system.graft_bucket_8(CAST(7 AS BIGINT), 's3')").collect()(0)
+    assert(viaFn.getInt(0) == expected.getInt(0), "bucket() diverges from layout hash")
+    assert(viaFn.getInt(1) == expected.getInt(1), "graft_bucket_N() diverges from layout hash")
+    // and across a value sweep (both arities, nulls included)
+    val sweep = spark.sql(
+      s"""SELECT sum(CASE WHEN $cat.system.bucket(8, k) = pmod(hash(k), 8) THEN 0 ELSE 1 END) d1,
+                 sum(CASE WHEN $cat.system.graft_bucket_8(k, s) = pmod(hash(k, s), 8) THEN 0 ELSE 1 END) d2
+          FROM (SELECT CASE WHEN id = 99 THEN NULL ELSE id END k, concat('s', id % 11) s
+                FROM range(0, 100))""").collect()(0)
+    assert(sweep.getLong(0) == 0 && sweep.getLong(1) == 0)
+  }
+}
