@@ -160,6 +160,44 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("one-side shuffle: an incremental batch joins the table without re-shuffling the table") {
+    // The 100 TB shape: a small/medium batch (no reported partitioning)
+    // joins the huge keyed table. With v2.bucketing.shuffle.enabled, Spark
+    // shuffles ONLY the batch side into the table's KeyGroupedPartitioning
+    // (via the catalog bucket function) — the big side moves zero bytes.
+    val cat = freshCatalog("os")
+    spark.sql(s"CREATE TABLE $cat.db.big (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='8')")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT id, concat('v', id) FROM range(0, 10000)")
+    spark.range(0, 500).selectExpr("id AS k", "concat('b', id) AS w")
+      .createOrReplaceTempView("spj_batch")
+    withSpj() {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val q = s"SELECT t.k, t.v, b.w FROM $cat.db.big t JOIN spj_batch b ON t.k = b.k"
+        // plan-string checks (executedPlan is an AdaptiveSparkPlanExec LEAF —
+        // tree collect() cannot see the inner Exchanges, toString can)
+        val plan = planOf(q)
+        val exchangeCount = plan.linesIterator.count(_.contains("Exchange"))
+        assert(exchangeCount == 1, s"expected exactly the batch-side shuffle:\n$plan")
+        assert(plan.contains("Exchange keygroupedpartitioning"),
+          s"batch side must shuffle INTO the table's layout:\n$plan")
+        assert(plan.contains("graft keyed scan"))
+        // the keyed (table) side prints before the shuffled (batch) side in
+        // this join: the scan must not sit under the Exchange subtree
+        assert(plan.indexOf("graft keyed scan") < plan.indexOf("Exchange"),
+          s"the TABLE side must not shuffle:\n$plan")
+        assert(rowsOf(q) == withSpj(enabled = false)(rowsOf(q)) && rowsOf(q).length == 500)
+        // mismatched bucket counts (8 vs 16) also collapse to ONE exchange
+        spark.sql(s"CREATE TABLE $cat.db.b16 (k BIGINT, w STRING) TBLPROPERTIES ('primary_key'='k','buckets'='16')")
+        spark.sql(s"INSERT INTO $cat.db.b16 SELECT id, concat('w', id) FROM range(0, 5000)")
+        val q2 = s"SELECT t.k, t.v, s.w FROM $cat.db.big t JOIN $cat.db.b16 s ON t.k = s.k"
+        assert(planOf(q2).linesIterator.count(_.contains("Exchange")) <= 1,
+          s"mismatched bucket counts must shuffle at most one side:\n${planOf(q2)}")
+        assert(spark.sql(q2).count() == 5000)
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("catalog bucket functions match the write layout hash exactly") {
     val cat = freshCatalog("fn")
     // parity oracle: the layout hash is pmod(hash(keys), nb) (lake.bucketExpr)
