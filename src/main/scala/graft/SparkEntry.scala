@@ -97,6 +97,7 @@ object SparkEntry {
     "q44_change_feed_stream" -> (cdcq.changeFeedStream _),
     "q45_rebucket_replay" -> (cdcq.replayRebucket _),
     "q46_spj_join" -> (cdcq.spjJoin _),
+    "q47_agg_pushdown" -> (cdcq.aggStats _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -644,6 +645,13 @@ object SparkEntry {
          SELECT l.user_id, l.event_type, s.n_events, s.total_value
          FROM l JOIN s ON l.user_id = s.user_id
          ORDER BY l.user_id""",
+    // q47: manifest-answered aggregates — the Spark side asserts the
+    // LocalTableScan (zero-file) plan in-query; values recomputed raw here
+    "q47_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, count(user_id) AS n_user_vals,
+                min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+                min(user_id) AS min_user, max(user_id) AS max_user
+         FROM events""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -917,4 +917,37 @@ object cdcq {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Manifest-answered aggregates (GraftAgg): the event log appended into a
+    * keyed graft table, then `count(*) / count(col) / min / max` through
+    * SQL — asserted in-query to plan as a LocalTableScan of ONE driver-built
+    * row (zero data files opened, zero tasks). At the 10M-file envelope this
+    * is the difference between a full-table scan job and a manifest fold.
+    * The oracle recomputes the same aggregates over the raw events. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gagg${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-aggq").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_log")
+    spark.sql(s"""CREATE TABLE $cat.db.ev_log (event_id BIGINT, user_id BIGINT, event_type STRING)
+                  TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeTo(s"$cat.db.ev_log").append()
+    val agg = spark.sql(
+      s"""SELECT count(*) AS n_rows, count(user_id) AS n_user_vals,
+                 min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+                 min(user_id) AS min_user, max(user_id) AS max_user
+          FROM $cat.db.ev_log""")
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan"),
+      s"q47 must answer from the manifest (LocalTableScan), not a scan:\n$plan")
+    require(!plan.contains("graft keyed scan") && !plan.contains("Scan parquet"),
+      s"q47 must not open any data file:\n$plan")
+    agg
+  }
 }

@@ -485,9 +485,12 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       private var required: StructType = snap.schema
+      // manifest-answered aggregate (GraftAgg): (answer schema, the one row)
+      private var agg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
@@ -499,7 +502,38 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         required = requiredSchema
       }
 
+      /** count(*) / count(col) / min(col) / max(col) answered from the
+        * manifest ([[GraftAgg]]): complete pushdown only — either the
+        * stats answer EXACTLY and the query becomes a LocalTableScan of
+        * one row, or we refuse and the scan path runs untouched. Never
+        * partial: a partial answer would still launch the scan job, so
+        * there is nothing to win. Guarded on no pushed filters (Spark
+        * won't offer aggregates past this scan's always-kept residual
+        * filters anyway — belt and braces). */
+      private def tryAnswer(
+          aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+        if (pushed.nonEmpty || !GraftAgg.enabled(table.spark)) None
+        else GraftAgg.answer(snap, table.filesOf(snap), aggregation)
+      override def supportCompletePushDown(
+          aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = tryAnswer(aggregation).isDefined
+      override def pushAggregation(
+          aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = {
+        agg = tryAnswer(aggregation)
+        agg.isDefined
+      }
+
       override def build(): Scan = {
+        agg.foreach { case (aggSchema, row) =>
+          return new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType = aggSchema
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+            override def description(): String =
+              s"graft manifest-answered aggregate ${table.name} v${snap.version}"
+          }
+        }
         // Native keyed-scan path (storage-partitioned reads, GraftSpj):
         // when every live file is a base file on the current schema
         // version, read the buckets directly and REPORT the bucket layout
