@@ -98,6 +98,7 @@ object SparkEntry {
     "q45_rebucket_replay" -> (cdcq.replayRebucket _),
     "q46_spj_join" -> (cdcq.spjJoin _),
     "q47_agg_pushdown" -> (cdcq.aggStats _),
+    "q48_runtime_prune" -> (cdcq.runtimePrune _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -652,6 +653,13 @@ object SparkEntry {
                 min(event_id) AS min_lsn, max(event_id) AS max_lsn,
                 min(user_id) AS min_user, max(user_id) AS max_user
          FROM events""",
+    // q48: runtime (join-time) bucket pruning — the Spark side asserts the
+    // dynamicpruning RuntimeFilter + bucketsRead < bucketsTotal in-query
+    "q48_runtime_prune" ->
+      """SELECT f.event_id, f.user_id, f.event_type, concat('t', d.event_id % 5) AS tag
+         FROM events f JOIN (SELECT event_id FROM events WHERE event_id % 997 = 0) d
+           ON f.event_id = d.event_id
+         ORDER BY f.event_id""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -950,4 +950,51 @@ object cdcq {
       s"q47 must not open any data file:\n$plan")
     agg
   }
+
+  /** Runtime (join-time) pruning: the full event log in a keyed graft table,
+    * probe-joined against a small broadcast dim of selected event ids. Spark
+    * evaluates the dim first and hands the scan `In(event_id, survivors)`
+    * (SupportsRuntimeFiltering) — the scan then re-plans to ONLY the buckets
+    * whose hash can hold a surviving key, asserted in-query via both the
+    * executed plan (`RuntimeFilters: [dynamicpruning...]`) and ScanStats
+    * (buckets read < buckets total). At 100 TB this is the selective-join
+    * complement of SPJ: the fact side's I/O scales with the DIM's
+    * selectivity, not the fact's size. Oracle: the same join recomputed raw. */
+  def runtimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"grtf${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-rtfq").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    Seq("ev_fact", "ev_dim").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.db.$t"))
+    spark.sql(s"""CREATE TABLE $cat.db.ev_fact (event_id BIGINT, user_id BIGINT, event_type STRING)
+                  TBLPROPERTIES ('primary_key'='event_id', 'buckets'='16')""")
+    spark.sql(s"""CREATE TABLE $cat.db.ev_dim (event_id BIGINT, tag STRING)
+                  TBLPROPERTIES ('primary_key'='event_id', 'buckets'='4')""")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .writeTo(s"$cat.db.ev_fact").append()
+    events.filter(col("event_id") % 997 === 0)
+      .select(col("event_id"), concat(lit("t"), col("event_id") % 5).as("tag"))
+      .writeTo(s"$cat.db.ev_dim").append()
+    graft.cdc.skipping.ScanStats.last.set(None)
+    // the dim-side LIKE is trivially true but structurally SELECTIVE:
+    // Spark's PartitionPruning only injects a DPP subquery when the build
+    // side carries a likely-selective predicate beyond the join keys
+    val joined = spark.sql(
+      s"""SELECT f.event_id, f.user_id, f.event_type, d.tag
+          FROM $cat.db.ev_fact f JOIN $cat.db.ev_dim d ON f.event_id = d.event_id
+          WHERE d.tag LIKE 't%'
+          ORDER BY f.event_id""")
+    joined.collect() // execute so the DPP subquery fires and ScanStats lands
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"q48 fact scan must carry a runtime filter:\n$plan")
+    val st = graft.cdc.skipping.ScanStats.last.get()
+    require(st.exists { case (br, bt, _, _) => bt == 16 && br < bt },
+      s"q48 runtime filter must prune fact buckets, got $st:\n$plan")
+    joined
+  }
 }

@@ -192,7 +192,32 @@ class GraftBucketReaderFactory(
   * is row-group elision inside the parquet reader, never row logic). */
 class GraftKeyedScan(table: lake.LakeTable, snap: lake.Snapshot,
     scanSchema: StructType, scanFilters: Seq[Filter])
-  extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Join-time dynamic pruning (Spark's DPP machinery): when this table is
+    * the probe side of a broadcast join, Spark evaluates the build side
+    * first and calls [[filter]] with `In(joinKey, seenValues)` — then
+    * re-plans the partitions. A key-column filter prunes whole BUCKETS
+    * (same driver-side hash as the static path), any stat'd column prunes
+    * FILES by their manifest bounds: `fact JOIN dim` reads only the fact
+    * files that can contain the dim's surviving keys. Partition COUNT and
+    * keys never change — pruning empties a bucket's file list rather than
+    * dropping its partition — so the reported KeyGroupedPartitioning stays
+    * valid under SPJ. Runtime filters are I/O elision only (the join above
+    * re-applies the real predicate), so over-pruning is impossible and the
+    * filters are deliberately NOT handed to the parquet reader (the
+    * reader factory may already be built when they arrive). */
+  @volatile private var runtimeFilters: Seq[Filter] = Nil
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns of the PRUNED read schema: Spark resolves these against
+    // the scan's output, so a projected-away column fails analysis
+    scanSchema.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.toSeq
+  }
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
@@ -203,10 +228,11 @@ class GraftKeyedScan(table: lake.LakeTable, snap: lake.Snapshot,
     new KeyGroupedPartitioning(Array(GraftSpj.bucketTransform(snap)), snap.numBuckets)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val buckets = skipping.bucketsForKeys(scanFilters, snap.keyColumns, snap.schema, snap.numBuckets)
+    val effective = scanFilters ++ runtimeFilters
+    val buckets = skipping.bucketsForKeys(effective, snap.keyColumns, snap.schema, snap.numBuckets)
     val wanted = table.filesOfBuckets(snap, buckets)
     val kept = wanted.filter(f => f.stats.forall(s =>
-      scanFilters.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt))))
+      effective.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt))))
     skipping.ScanStats.last.set(Some((
       buckets.map(_.size).getOrElse(snap.numBuckets), snap.numBuckets,
       kept.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))

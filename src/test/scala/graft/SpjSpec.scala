@@ -198,6 +198,32 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("runtime filtering: a broadcast dim join dynamically prunes fact buckets/files") {
+    val cat = freshCatalog("rf")
+    spark.sql(s"CREATE TABLE $cat.db.fact (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='16')")
+    spark.sql(s"INSERT INTO $cat.db.fact SELECT id, concat('v', id) FROM range(0, 100000)")
+    spark.sql(s"CREATE TABLE $cat.db.dim (k BIGINT, cls STRING) TBLPROPERTIES ('primary_key'='k','buckets'='4')")
+    spark.sql(s"INSERT INTO $cat.db.dim SELECT id * 1000, concat('c', id % 3) FROM range(0, 20)")
+    val q = s"SELECT f.k, f.v, d.cls FROM $cat.db.fact f JOIN $cat.db.dim d ON f.k = d.k WHERE d.cls = 'c1'"
+    graft.cdc.skipping.ScanStats.last.set(None)
+    val df = spark.sql(q)
+    val got = df.collect().map(_.toString).sorted.toSeq
+    // the DPP expression landed on the fact scan...
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"), s"no runtime filter on the scan:\n$plan")
+    // ...and actually elided I/O: only the buckets/files that can hold the
+    // dim's 7 surviving keys were read (16 files live, one per bucket)
+    val Some((bucketsRead, bucketsTotal, filesRead, filesTotal)) =
+      graft.cdc.skipping.ScanStats.last.get()
+    assert(bucketsTotal == 16 && filesTotal == 16, s"unexpected layout: $bucketsTotal/$filesTotal")
+    assert(bucketsRead < 16 && filesRead < 16,
+      s"runtime filter did not prune: read $bucketsRead buckets / $filesRead files of 16")
+    // value parity with dynamic pruning off
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try assert(spark.sql(q).collect().map(_.toString).sorted.toSeq == got && got.length == 7)
+    finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+  }
+
   test("catalog bucket functions match the write layout hash exactly") {
     val cat = freshCatalog("fn")
     // parity oracle: the layout hash is pmod(hash(keys), nb) (lake.bucketExpr)
