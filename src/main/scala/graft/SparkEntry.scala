@@ -99,6 +99,7 @@ object SparkEntry {
     "q46_spj_join" -> (cdcq.spjJoin _),
     "q47_agg_pushdown" -> (cdcq.aggStats _),
     "q48_runtime_prune" -> (cdcq.runtimePrune _),
+    "q49_files_inventory" -> (cdcq.filesInventory _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -654,12 +655,19 @@ object SparkEntry {
                 min(user_id) AS min_user, max(user_id) AS max_user
          FROM events""",
     // q48: runtime (join-time) bucket pruning — the Spark side asserts the
-    // dynamicpruning RuntimeFilter + bucketsRead < bucketsTotal in-query
+    // dynamicpruning RuntimeFilter + bucketsRead < bucketsTotal in-query;
+    // the dim modulus derives from max(event_id) so the dim stays ~6 keys
+    // at every scale factor (integer division on both sides)
     "q48_runtime_prune" ->
       """SELECT f.event_id, f.user_id, f.event_type, concat('t', d.event_id % 5) AS tag
-         FROM events f JOIN (SELECT event_id FROM events WHERE event_id % 997 = 0) d
+         FROM events f JOIN (SELECT event_id FROM events
+                             WHERE event_id % greatest(1, (SELECT max(event_id) FROM events) // 6) = 0) d
            ON f.event_id = d.event_id
          ORDER BY f.event_id""",
+    // q49: t.files inventory — manifest row counts reconcile with the data;
+    // the Spark side pins file-per-bucket shape and stats presence in-query
+    "q49_files_inventory" ->
+      """SELECT 'base' AS kind, count(*) AS n_rows FROM events""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -976,7 +976,14 @@ object cdcq {
     val events = spark.read.parquet(s"$dir/events.parquet")
     events.select(col("event_id"), col("user_id"), col("event_type"))
       .writeTo(s"$cat.db.ev_fact").append()
-    events.filter(col("event_id") % 997 === 0)
+    // dim selectivity must be SCALE-INVARIANT (~6 keys at any sf): with a
+    // fixed modulus the dim grows with the data and its keys eventually
+    // hash into every bucket, making the pruning assertion below vacuous —
+    // exactly what happened at sf0.1 with `% 997`. The oracle recomputes
+    // the same max-derived modulus (integer division on both sides).
+    val maxId = events.agg(max(col("event_id"))).head.getLong(0)
+    val mod = math.max(1L, maxId / 6L)
+    events.filter(col("event_id") % mod === 0)
       .select(col("event_id"), concat(lit("t"), col("event_id") % 5).as("tag"))
       .writeTo(s"$cat.db.ev_dim").append()
     graft.cdc.skipping.ScanStats.last.set(None)
@@ -996,5 +1003,39 @@ object cdcq {
     require(st.exists { case (br, bt, _, _) => bt == 16 && br < bt },
       s"q48 runtime filter must prune fact buckets, got $st:\n$plan")
     joined
+  }
+
+  /** `t.files` metadata-table inventory (Iceberg analog): the event log in a
+    * keyed table, then the live-file listing aggregated per kind through
+    * SQL. The manifest row counts must reconcile EXACTLY with the data the
+    * files hold — the oracle recomputes the total from raw events. In-query
+    * checks pin the shape the oracle can't see: one base file per non-empty
+    * bucket, every file carrying skipping stats. */
+  def filesInventory(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gfil${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-filq").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_inv")
+    spark.sql(s"""CREATE TABLE $cat.db.ev_inv (event_id BIGINT, user_id BIGINT, event_type STRING)
+                  TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeTo(s"$cat.db.ev_inv").append()
+    val inv = spark.sql(
+      s"""SELECT kind, CAST(sum(rows) AS BIGINT) AS n_rows
+          FROM $cat.db.ev_inv.files GROUP BY kind ORDER BY kind""")
+    val shape = spark.sql(
+      s"""SELECT count(*) AS n_files, count(stats_json) AS n_statted,
+                 count(DISTINCT bucket) AS n_buckets
+          FROM $cat.db.ev_inv.files""").head
+    require(shape.getLong(0) == shape.getLong(2) && shape.getLong(0) <= 8,
+      s"q49 expects one base file per non-empty bucket, got $shape")
+    require(shape.getLong(1) == shape.getLong(0),
+      s"q49 expects skipping stats on every file, got $shape")
+    inv
   }
 }

@@ -86,6 +86,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           return new GraftHistoryTable(
             lake.LakeTable.load(spark, rootOf(base), base.name()))
       }
+      // `SELECT * FROM cat.db.t.files` — the live file inventory (Iceberg
+      // t.files analog); manifest parsing distributed across executors
+      if (ident.name() == "files" && ns.nonEmpty) {
+        val base = Identifier.of(ns.init, ns.last)
+        if (tableExists(base))
+          return new GraftFilesTable(
+            lake.LakeTable.load(spark, rootOf(base), base.name()))
+      }
       // CDC-out metadata table: `SELECT * FROM cat.db.t.changes_since_<v>`
       // = LakeTable.changesSince(v) through SQL — the change rows (lsn, op,
       // payload) committed after snapshot v, with the folded-loss
@@ -370,6 +378,77 @@ class GraftHistoryTable(lakeTable: lake.LakeTable) extends Table with SupportsRe
     }
 }
 
+/** Read-only `files` metadata table (Iceberg `t.files` analog): one row per
+  * LIVE data file of the table's current snapshot — path, bucket, kind,
+  * rows/bytes, schema version, lsn range, per-row-lsn flag, and the
+  * data-skipping bounds as JSON. Inline file entries emit driver-side
+  * (they are already in memory); chunked-mode manifests are parsed ON
+  * EXECUTORS (one task slice per manifest ref), so the listing scales to
+  * the 10M-file envelope without materializing the file set on the driver
+  * — the same distribution discipline as vacuum's per-dir scan. */
+class GraftFilesTable(lakeTable: lake.LakeTable) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val pinnedSnap = lakeTable.snapshot
+  private val filesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("schema_version", IntegerType, nullable = false),
+    StructField("lsn_min", LongType, nullable = false),
+    StructField("lsn_max", LongType, nullable = false),
+    StructField("row_lsn", BooleanType, nullable = false),
+    StructField("stats_json", StringType, nullable = true)))
+
+  override def name(): String = s"${lakeTable.name}.files"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = filesSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = filesSchema
+            override def buildScan(): RDD[Row] = {
+              val sc = ctx.sparkSession.sparkContext
+              val inline = sc.parallelize(
+                pinnedSnap.files.map(GraftFilesTable.toRow),
+                math.max(1, math.min(pinnedSnap.files.size, 4)))
+              if (pinnedSnap.manifests.isEmpty) return inline
+              val root = lakeTable.root
+              val refs = pinnedSnap.manifests.map(_.path)
+              val fromManifests = sc
+                .parallelize(refs, math.max(1, math.min(refs.size, sc.defaultParallelism)))
+                .flatMap { p =>
+                  implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+                  org.json4s.jackson.Serialization
+                    .read[lake.ManifestData](
+                      java.nio.file.Files.readString(java.nio.file.Paths.get(root, p)))
+                    .files.map(GraftFilesTable.toRow)
+                }
+              inline.union(fromManifests)
+            }
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+private object GraftFilesTable {
+  /** Executor-safe row builder (no table handle captured). */
+  def toRow(f: lake.DataFile): Row = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Row(f.path, f.bucket, f.kind, f.rows, f.bytes, f.schemaVersion,
+      f.lsnMin, f.lsnMax, f.rowLsn,
+      f.stats.map(s => org.json4s.jackson.Serialization.write(s)).orNull)
+  }
+}
+
 /** Read-only CDC-out metadata table (`t.changes_since_<v>`): the MoR delta
   * change rows committed after snapshot v, resolved by
   * [[lake.LakeTable.changesSince]] — schema = (lsn, op) + the CURRENT
@@ -486,11 +565,21 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       private var required: StructType = snap.schema
       // manifest-answered aggregate (GraftAgg): (answer schema, the one row)
       private var agg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+      // pushed LIMIT: the keyed scan plans only a covering file prefix
+      private var limit: Option[Int] = None
+
+      /** Always PARTIAL pushdown (Spark keeps its own limit on top): the
+        * scan uses the limit purely to plan fewer FILES — an unfiltered
+        * `SELECT ... LIMIT n` over a 10M-file table launches a handful of
+        * tasks instead of one per file. */
+      override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+      override def isPartiallyPushed(): Boolean = true
 
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
@@ -542,7 +631,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         // the fused merge / conform logic, which lives on the V1 relation
         // path below — the general fallback, bit-identical results.
         if (GraftSpj.eligible(table.spark, snap, table.filesOf(snap)))
-          return new GraftKeyedScan(table, snap, required, pushed.toSeq)
+          return new GraftKeyedScan(table, snap, required, pushed.toSeq, limit)
         new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           private val scanFilters = pushed
           private val scanSchema = required

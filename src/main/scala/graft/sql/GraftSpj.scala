@@ -191,7 +191,7 @@ class GraftBucketReaderFactory(
   * filters returned post-scan (Spark re-applies them above — pushdown here
   * is row-group elision inside the parquet reader, never row logic). */
 class GraftKeyedScan(table: lake.LakeTable, snap: lake.Snapshot,
-    scanSchema: StructType, scanFilters: Seq[Filter])
+    scanSchema: StructType, scanFilters: Seq[Filter], pushedLimit: Option[Int] = None)
   extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -231,8 +231,20 @@ class GraftKeyedScan(table: lake.LakeTable, snap: lake.Snapshot,
     val effective = scanFilters ++ runtimeFilters
     val buckets = skipping.bucketsForKeys(effective, snap.keyColumns, snap.schema, snap.numBuckets)
     val wanted = table.filesOfBuckets(snap, buckets)
-    val kept = wanted.filter(f => f.stats.forall(s =>
+    val matched = wanted.filter(f => f.stats.forall(s =>
       effective.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt))))
+    // pushed LIMIT (partial pushdown — Spark re-limits above): with no
+    // filters in play, manifest row counts are exact contributions, so
+    // plan only a file prefix that covers the limit. Any filter (static
+    // or runtime) disables the truncation — a filtered file may yield
+    // fewer rows than its count, and dropping its siblings could starve
+    // the limit.
+    val kept = pushedLimit match {
+      case Some(n) if effective.isEmpty =>
+        var need = n.toLong
+        matched.takeWhile { f => val take = need > 0; need -= f.rows; take }
+      case _ => matched
+    }
     skipping.ScanStats.last.set(Some((
       buckets.map(_.size).getOrElse(snap.numBuckets), snap.numBuckets,
       kept.size, snap.files.size + snap.manifests.map(_.numFiles).sum)))

@@ -624,6 +624,36 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT v FROM $cat.db.t2").collect()(0).getString(0) == "2")
   }
 
+  test("t.files metadata table lists the live inventory, inline and chunked modes") {
+    val cat = freshCatalog("fil")
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) FROM range(0, 400)")
+    val rows = spark.sql(
+      s"SELECT path, bucket, kind, rows, bytes, stats_json FROM $cat.db.t.files").collect()
+    assert(rows.length == 4 && rows.map(_.getInt(1)).toSet == Set(0, 1, 2, 3))
+    assert(rows.map(_.getLong(3)).sum == 400 && rows.forall(_.getLong(4) > 0))
+    assert(rows.forall(_.getString(2) == "base"))
+    assert(rows.forall(r => r.getString(5) != null && r.getString(5).contains("\"k\"")),
+      "every file carries its skipping bounds as JSON")
+    // MoR deltas appear with their kind and lsn range
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = graft.cdc.lake.LakeTable.load(spark, s"$wh/db/t", "t")
+    import spark.implicits._
+    assert(t.deltaAppend(Seq((1L, "x", 5L, "U")).toDF("k", "v", "lsn", "op"), 9L).committed)
+    val byKind = spark.sql(
+      s"SELECT kind, count(*) c, max(lsn_max) m FROM $cat.db.t.files GROUP BY kind")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKind("base")._1 == 4 && byKind("delta") == ((1L, 5L)), s"got $byKind")
+    // chunked-manifest mode (>64 buckets): refs parsed on EXECUTORS
+    spark.sql(s"""CREATE TABLE $cat.db.big (k BIGINT, v STRING)
+                  TBLPROPERTIES ('primary_key'='k', 'buckets'='128')""")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT id, concat('v', id) FROM range(0, 2000)")
+    val big = spark.sql(
+      s"SELECT count(*) nf, CAST(sum(rows) AS BIGINT) nr FROM $cat.db.big.files").head
+    assert(big.getLong(1) == 2000 && big.getLong(0) >= 64, s"got $big")
+  }
+
   test("CALL g.system.*: SQL maintenance procedures drive the full table lifecycle") {
     val cat = freshCatalog("proc")
     spark.sql(s"""CREATE TABLE $cat.db.t (k STRING, v STRING)

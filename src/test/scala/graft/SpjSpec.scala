@@ -224,6 +224,24 @@ class SpjSpec extends SparkSuite {
     finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
   }
 
+  test("pushed LIMIT plans a covering file prefix; filters disable the truncation") {
+    val cat = freshCatalog("lim")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='16')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) FROM range(0, 16000)")
+    withSpj() {
+      graft.cdc.skipping.ScanStats.last.set(None)
+      assert(spark.sql(s"SELECT * FROM $cat.db.t LIMIT 5").collect().length == 5)
+      val Some((_, _, filesRead, filesTotal)) = graft.cdc.skipping.ScanStats.last.get()
+      assert(filesTotal == 16 && filesRead < 16,
+        s"LIMIT 5 must not plan the whole table: $filesRead/$filesTotal files")
+      // a WHERE disables the file truncation (filtered yield is unknown) —
+      // the limit still holds, applied by Spark above the scan
+      graft.cdc.skipping.ScanStats.last.set(None)
+      val got = spark.sql(s"SELECT * FROM $cat.db.t WHERE v LIKE 'v1%' LIMIT 100000").collect()
+      assert(got.length == 1 + 10 + 100 + 1000 + 6000) // v1, v1x..v1xxxx (ids < 16000)
+    }
+  }
+
   test("catalog bucket functions match the write layout hash exactly") {
     val cat = freshCatalog("fn")
     // parity oracle: the layout hash is pmod(hash(keys), nb) (lake.bucketExpr)
