@@ -68,11 +68,50 @@ final class GraftChangesSource(
     spark: SparkSession,
     root: String,
     startVersion: Long,
-    override val schema: StructType)
-  extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // re-open lazily so executors never serialize the table handle
   private def table: LakeTable = LakeTable.load(spark, root, "changes-source")
+
+  private def currentCeiling: Long =
+    table.currentVersionOpt.map(v => math.max(v, startVersion)).getOrElse(startVersion)
+
+  // ---- admission control / Trigger.AvailableNow ----------------------------
+  // The engine consults latestOffset (not getOffset) once the source
+  // declares admission control. Offsets stay snapshot versions; the two
+  // knobs compose: `maxVersionsPerTrigger` bounds each micro-batch (a
+  // backfill from v0 on a table with millions of commits must not plan one
+  // giant batch), and AvailableNow pins the END at prepare time so the run
+  // drains exactly what existed, in bounded batches, then terminates —
+  // commits racing in mid-drain wait for the next run, never extend this
+  // one. Without prepare (ProcessingTime triggers) the cap is absent and
+  // latestOffset degrades to the old getOffset behavior.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentCeiling)
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map {
+      case v1: OffsetV1 => changefeed.parseVersion(v1)
+      case v2 => v2.json.trim.toLong
+    }.getOrElse(startVersion)
+    val ceiling = availableNowCap.fold(currentCeiling)(math.min(currentCeiling, _))
+    val end = maxVersionsPerTrigger.fold(ceiling)(m => math.min(ceiling, from + math.max(1L, m)))
+    if (end <= from) null else LongOffset(end) // null = no new data this trigger
+  }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(currentCeiling)
 
   override def getOffset: Option[OffsetV1] =
     table.currentVersionOpt.map(v => LongOffset(math.max(v, startVersion)))
@@ -109,7 +148,10 @@ final class GraftChangesSource(
 
 /** `format("graft-changes")` provider (registered in META-INF/services).
   * Options: `path` = table root (required); `startingVersion` =
-  * latest | earliest | <version long> (default latest). */
+  * latest | earliest | <version long> (default latest);
+  * `maxVersionsPerTrigger` = bound each micro-batch to at most this many
+  * snapshot versions (backfill pacing; composes with Trigger.AvailableNow,
+  * which drains to a fixed end cap in bounded batches, then terminates). */
 final class GraftChangesProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -136,7 +178,12 @@ final class GraftChangesProvider extends StreamSourceProvider with DataSourceReg
       providerName: String,
       parameters: Map[String, String]): Source = {
     val (t, startV) = open(sqlContext, parameters)
+    val maxV = parameters.get("maxversionspertrigger").map { s =>
+      val v = s.trim.toLong
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
     new GraftChangesSource(sqlContext.sparkSession, t.root, startV,
-      schema.getOrElse(changefeed.feedSchema(t.snapshot.schema)))
+      schema.getOrElse(changefeed.feedSchema(t.snapshot.schema)), maxV)
   }
 }

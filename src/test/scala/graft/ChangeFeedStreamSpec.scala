@@ -64,6 +64,39 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(spark.read.parquet(outDir).count() == got2.size, "idle drain must be a no-op")
   }
 
+  test("Trigger.AvailableNow drains a backfill in maxVersionsPerTrigger-bounded batches") {
+    // native SupportsTriggerAvailableNow: the end is pinned at prepare time
+    // and the drain proceeds in version-bounded micro-batches (backfill
+    // pacing) — not the engine's single-batch fallback
+    val root = tmpDir("cfs-an-lake")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1),
+      mode = MergeMode.MoR)
+    val cfg = gen.GenConfig(n = 4000, nKeys = 800, numPartitions = 4)
+    val all = gen.changeEvents(spark, cfg).cache()
+    (0 until 4).foreach(e =>
+      engine.applyEpoch(all.filter(col("lsn") >= e * 1000 && col("lsn") < (e + 1) * 1000), e))
+    val expected = table.changesSince(table.history().head)
+      .select("lsn", "repo", "path").collect().map(_.toSeq).toSet
+    all.unpersist()
+    val outDir = tmpDir("cfs-an-out")
+    val q = spark.readStream.format("graft-changes")
+      .option("path", root).option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", tmpDir("cfs-an-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate at the pinned cap")
+    val got = spark.read.parquet(outDir).select("lsn", "repo", "path")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"drained ${got.size} of ${expected.size} change rows")
+    // one version per micro-batch: 4 delta commits -> at least 4 data batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"expected a bounded multi-batch drain, got $dataBatches data batches")
+  }
+
   test("q44 path: feed-driven downstream table equals the direct replay") {
     val got = ops.cdcq.changeFeedStream(spark, "/root/testdata/sf0.001").collect().toSeq
     val expected = ops.cdcq.replay(spark, "/root/testdata/sf0.001").collect().toSeq
