@@ -478,8 +478,14 @@ object lake {
       val wanted = filesOfBuckets(snap, buckets)
       val deltaBuckets = wanted.filter(_.kind == "delta").map(_.bucket).toSet
       val kept = wanted.filter { f =>
-        f.kind == "delta" || deltaBuckets(f.bucket) || f.stats.forall(s =>
-          filters.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt)))
+        f.kind == "delta" || deltaBuckets(f.bucket) || f.stats.forall { s0 =>
+          // an old-schema file's bounds may be encoded under the OLD type
+          // (DATE days vs TIMESTAMP micros after a widening) — project the
+          // stats to what stays valid before comparing
+          val s = if (f.schemaVersion == snap.schemaVersion) s0
+            else skipping.compatibleStats(s0, snap.schemaOf(f.schemaVersion), snap.schema)
+          filters.forall(flt => skipping.mayMatch(s, f.rows, snap.schema, flt))
+        }
       }
       skipping.ScanStats.last.set(Some((
         buckets.map(_.size).getOrElse(snap.numBuckets), snap.numBuckets,
@@ -1258,8 +1264,14 @@ object lake {
           }
           newDeltas.filter { f =>
             filters.forall(flt => lsnRangeOk(f, flt)) &&
-              f.stats.forall(s =>
-                filters.forall(flt => skipping.mayMatch(s, f.rows, feedSchema, flt)))
+              f.stats.forall { s0 =>
+                // same old-schema bounds projection as readWhere (lsn/op
+                // are physical feed columns outside the registry schema
+                // and pass through untouched)
+                val s = if (f.schemaVersion == cur.schemaVersion) s0
+                  else skipping.compatibleStats(s0, cur.schemaOf(f.schemaVersion), cur.schema)
+                filters.forall(flt => skipping.mayMatch(s, f.rows, feedSchema, flt))
+              }
           }
         }
       skipping.ScanStats.lastFeed.set(Some((kept.size, newDeltas.size)))

@@ -53,7 +53,12 @@ object skipping {
     val dead = scala.collection.mutable.HashSet[String]()
     for (b <- blocks; c <- b.getColumns.asScala) {
       val name = c.getPath.toDotString
-      if (!dead(name) && c.getPath.size() == 1 && acc.size < MaxStatsColumns + dead.size) {
+      // the cap limits NEW columns only: a column already accumulated must
+      // keep merging every later row group's bounds — stopping mid-file
+      // would record partial (first-row-groups-only) bounds as file-wide
+      // bounds, and pruning against those silently drops matching rows
+      if (!dead(name) && c.getPath.size() == 1 &&
+          (acc.contains(name) || acc.size < MaxStatsColumns + dead.size)) {
         canonical(c) match {
           case None => dead += name; acc.remove(name); ()
           case Some((mn, mx, nl)) =>
@@ -181,6 +186,41 @@ object skipping {
 
   // ---- evaluation (read side) ----------------------------------------------
 
+  /** Canonical-encoding class of a type: bounds written under one class are
+    * comparable against predicate values of the same class only. Integral
+    * widenings (int->long etc.) share a class; DATE (epoch days) and
+    * TIMESTAMP (epoch micros) do NOT — the registry allows that widening,
+    * so bounds written under the old DATE schema are day-valued and must
+    * never be compared as micros. 0 = no stats for this type anyway. */
+  private def encodingClass(dt: DataType): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => 1
+    case DateType => 2
+    case TimestampType | TimestampNTZType => 3
+    case FloatType | DoubleType => 4
+    case StringType => 5
+    case _ => 0
+  }
+
+  /** Project a file's stats to what remains VALID under the current schema
+    * when the file was written under an older schema version: a column
+    * whose type changed encoding class keeps its null count (type-widening
+    * preserves nullness) but loses its bounds. Columns absent from the
+    * file's schema (feed/system columns like `lsn`/`op`, stat'd from the
+    * physical parquet) pass through — ALTER can only retype registry
+    * columns. Identity when the schema versions match. */
+  def compatibleStats(stats: Map[String, ColStats], fileSchema: StructType,
+      curSchema: StructType): Map[String, ColStats] =
+    if (fileSchema eq curSchema) stats
+    else stats.map { case (name, cs) =>
+      val ft = fileSchema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+      val ct = curSchema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+      val stable = (ft, ct) match {
+        case (Some(a), Some(b)) => encodingClass(a) != 0 && encodingClass(a) == encodingClass(b)
+        case _ => true // not a registry-retypeable column
+      }
+      name -> (if (stable) cs else ColStats(None, None, cs.nulls))
+    }
+
   /** Comparable projection of a filter value / stored bound under one Spark
     * type. Long for integral/boolean/date/timestamp families, Double for
     * fractional, String raw. None = not comparable (never prune). */
@@ -191,7 +231,11 @@ object skipping {
       case n: java.lang.Number => Some(n.longValue.toString)
       case b: java.lang.Boolean => Some(if (b) "1" else "0")
       case t: java.sql.Timestamp =>
-        Some((t.getTime / 1000L * 1000000L + (t.getNanos.toLong / 1000L) % 1000000L).toString)
+        // getTime already includes the millis of the fractional second; add
+        // only the sub-millisecond remainder. (The previous floor-second
+        // reconstruction truncated toward zero, flipping the sign of
+        // pre-epoch fractional timestamps.)
+        Some((t.getTime * 1000L + (t.getNanos.toLong / 1000L) % 1000L).toString)
       case i: java.time.Instant =>
         Some((java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L).toString)
       case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)

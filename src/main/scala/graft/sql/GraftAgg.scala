@@ -76,7 +76,7 @@ object GraftAgg {
       Some((LongType, java.lang.Long.valueOf(files.map(_.rows).sum)))
     case c: Count if !c.isDistinct =>
       columnOf(c.column).flatMap { name =>
-        val nulls = files.map(st => statsFor(st, name).map(_.nulls).getOrElse(-1L))
+        val nulls = files.map(st => statsFor(snap, st, name).map(_.nulls).getOrElse(-1L))
         if (nulls.exists(_ < 0)) None
         else Some((LongType, java.lang.Long.valueOf(files.map(_.rows).sum - nulls.sum)))
       }
@@ -91,11 +91,18 @@ object GraftAgg {
     case _ => None
   }
 
-  /** Case-insensitive stats lookup (SQL identifiers may arrive lower-cased). */
-  private def statsFor(file: lake.DataFile, name: String)
+  /** Case-insensitive stats lookup (SQL identifiers may arrive lower-cased),
+    * projected through [[graft.cdc.skipping.compatibleStats]] for old-schema
+    * files: bounds written under a different encoding class (DATE days vs
+    * TIMESTAMP micros after a widening) are dropped — the null count, which
+    * widening preserves, survives so count(col) still answers. */
+  private def statsFor(snap: lake.Snapshot, file: lake.DataFile, name: String)
       : Option[graft.cdc.skipping.ColStats] =
-    file.stats.flatMap(m => m.get(name).orElse(
-      m.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }))
+    file.stats
+      .map(s => if (file.schemaVersion == snap.schemaVersion) s
+        else graft.cdc.skipping.compatibleStats(s, snap.schemaOf(file.schemaVersion), snap.schema))
+      .flatMap(m => m.get(name).orElse(
+        m.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }))
 
   private def bound(snap: lake.Snapshot, files: Seq[lake.DataFile],
       col: org.apache.spark.sql.connector.expressions.Expression, isMin: Boolean)
@@ -110,7 +117,7 @@ object GraftAgg {
     // every file must either expose the bound, or be provably all-null
     var acc: Option[Long] = None
     for (f <- files) {
-      val cs = statsFor(f, name).getOrElse(return None)
+      val cs = statsFor(snap, f, name).getOrElse(return None)
       val b = if (isMin) cs.min else cs.max
       b match {
         case Some(s) =>

@@ -258,8 +258,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (nsOk && nm == "bucket") GraftBucketFunction
     else if (nsOk && nm.startsWith("graft_bucket_") && nm.drop(13).forall(_.isDigit)
         && nm.length > 13)
-      // composite-key layout hash, bucket count baked into the name (GraftSpj)
-      new GraftNamedBucketFunction(nm.drop(13).toInt)
+      // composite-key layout hash, bucket count baked into the name
+      // (GraftSpj); an overlong digit suffix must fall through to the
+      // clean unresolved-function error, not a NumberFormatException
+      nm.drop(13).toIntOption.map(new GraftNamedBucketFunction(_)).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   }
 
@@ -599,11 +602,29 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         * there is nothing to win. Guarded on no pushed filters (Spark
         * won't offer aggregates past this scan's always-kept residual
         * filters anyway — belt and braces). */
+      // ONE manifest sweep per scan build, shared by aggregate answering
+      // and SPJ eligibility (at the 10M-file envelope repeated filesOf
+      // calls are the planning cost this scan path exists to avoid); the
+      // deltas early-out skips the sweep entirely from manifest-ref counts
+      private lazy val allFiles: Seq[graft.cdc.lake.DataFile] = table.filesOf(snap)
+      private def anyDeltas: Boolean =
+        snap.files.exists(_.kind == "delta") || snap.manifests.exists(_.deltaFiles > 0)
+      // Spark probes supportCompletePushDown and pushAggregation with the
+      // same Aggregation instance — memoize by identity, not equality
+      // (java records compare array components by reference anyway)
+      private var aggProbe: Option[(AnyRef, Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
       private def tryAnswer(
           aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
-        if (pushed.nonEmpty || !GraftAgg.enabled(table.spark)) None
-        else GraftAgg.answer(snap, table.filesOf(snap), aggregation)
+        aggProbe match {
+          case Some((prev, r)) if prev eq aggregation => r
+          case _ =>
+            val r =
+              if (pushed.nonEmpty || anyDeltas || !GraftAgg.enabled(table.spark)) None
+              else GraftAgg.answer(snap, allFiles, aggregation)
+            aggProbe = Some((aggregation, r))
+            r
+        }
       override def supportCompletePushDown(
           aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
           : Boolean = tryAnswer(aggregation).isDefined
@@ -630,7 +651,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         // plan without an Exchange. MoR deltas or old-schema files need
         // the fused merge / conform logic, which lives on the V1 relation
         // path below — the general fallback, bit-identical results.
-        if (GraftSpj.eligible(table.spark, snap, table.filesOf(snap)))
+        if (!anyDeltas && GraftSpj.eligible(table.spark, snap, allFiles))
           return new GraftKeyedScan(table, snap, required, pushed.toSeq, limit)
         new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           private val scanFilters = pushed

@@ -162,6 +162,77 @@ class SkippingSpec extends SparkSuite {
     assert(mayMatch(st, 10, schema, StringStartsWith("s", "n")))
   }
 
+  test("DATE->TIMESTAMP widening: old day-encoded bounds never prune or answer as micros") {
+    import org.apache.spark.sql.types._
+    // unit level: compatibleStats drops bounds (keeps nulls) across the
+    // encoding-class change, passes through same-class widenings and
+    // columns outside the registry schema (feed lsn/op)
+    val fileSchema = StructType(Seq(
+      StructField("d", DateType), StructField("n", IntegerType)))
+    val curSchema = StructType(Seq(
+      StructField("d", TimestampType), StructField("n", LongType)))
+    val st = Map(
+      "d" -> skipping.ColStats(Some("19723"), Some("19730"), 3L), // epoch DAYS
+      "n" -> skipping.ColStats(Some("1"), Some("9"), 0L),
+      "lsn" -> skipping.ColStats(Some("5"), Some("8"), 0L))
+    val proj = skipping.compatibleStats(st, fileSchema, curSchema)
+    assert(proj("d") == skipping.ColStats(None, None, 3L), "day bounds must drop, nulls survive")
+    assert(proj("n") == st("n"), "int->long bounds stay valid")
+    assert(proj("lsn") == st("lsn"), "physical feed columns pass through")
+    // end to end: data under DATE, ALTER to TIMESTAMP, midnight-equality
+    // lookup must return the row (pre-fix the micros-vs-days comparison
+    // pruned the file)
+    val cat = freshCatalog("dw")
+    spark.sql(s"CREATE TABLE $cat.db.w (k BIGINT, d DATE) TBLPROPERTIES ('primary_key'='k','buckets'='2')")
+    spark.sql(s"INSERT INTO $cat.db.w VALUES (1, DATE'2024-01-01'), (2, DATE'2024-01-05')")
+    spark.sql(s"ALTER TABLE $cat.db.w ALTER COLUMN d TYPE TIMESTAMP")
+    val hit = spark.sql(
+      s"SELECT k FROM $cat.db.w WHERE d = TIMESTAMP'2024-01-01 00:00:00'").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(1L),
+      "old-schema file must not be pruned by day-encoded bounds")
+    // manifest-answered min/max must refuse (bounds dropped), count still answers
+    val aggPlan = spark.sql(s"SELECT min(d) m FROM $cat.db.w")
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("LocalTableScan"), "min over dropped bounds must take the scan")
+    assert(spark.sql(s"SELECT CAST(min(d) AS DATE) m FROM $cat.db.w").collect()(0)
+      .getDate(0).toString == "2024-01-01")
+  }
+
+  test("pre-epoch fractional timestamps canonicalize with floored seconds") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    // file really contains ts = 1969-12-31 23:59:59.5 -> -500000 micros
+    val st = Map("ts" -> skipping.ColStats(Some("-500000"), Some("-500000"), 0L))
+    val probe = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
+    val utcProbe = new java.sql.Timestamp(-500L); utcProbe.setNanos(500000000)
+    // pre-fix the truncating division canonicalized the probe to +500000
+    // and EqualTo pruned the only matching file
+    assert(skipping.mayMatch(st, 1, schema, EqualTo("ts", utcProbe)),
+      s"pre-epoch probe must stay within its own file's bounds (probe=$probe)")
+    assert(!skipping.mayMatch(st, 1, schema, EqualTo("ts", new java.sql.Timestamp(1000L))))
+  }
+
+  test("multi-row-group footers merge bounds for every accumulated column") {
+    // >1 row group with ascending values: fromFooter must widen an early
+    // column's bounds across ALL groups (pre-fix the MaxStatsColumns guard
+    // stopped merging once the accumulator was full)
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("rg-merge")
+    val wide = (1 to 60).foldLeft(spark.range(0, 20000).toDF("c0")) {
+      (df, i) => df.withColumn(s"c$i", col("c0") + i)
+    }
+    wide.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "65536") // tiny groups -> many per file
+      .parquet(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration, new org.apache.hadoop.fs.Path(f.getPath))
+    assume(footer.getBlocks.size() > 1, "need multiple row groups to exercise the merge")
+    val stats = skipping.fromFooter(footer).get
+    assert(stats("c0") == skipping.ColStats(Some("0"), Some("19999"), 0L),
+      s"bounds must span every row group, got ${stats("c0")}")
+  }
+
   test("long/non-ASCII strings: bounds truncate with a bumped upper, or drop") {
     val cat = freshCatalog("trunc")
     spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT, body STRING)
