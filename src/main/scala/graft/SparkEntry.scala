@@ -100,6 +100,7 @@ object SparkEntry {
     "q47_agg_pushdown" -> (cdcq.aggStats _),
     "q48_runtime_prune" -> (cdcq.runtimePrune _),
     "q49_files_inventory" -> (cdcq.filesInventory _),
+    "q50_clustered_scan" -> (cdcq.clusteredScan _),
   )
 
   // ---- generated oracle SQL for the sketch/ANN queries --------------------
@@ -668,6 +669,13 @@ object SparkEntry {
     // the Spark side pins file-per-bucket shape and stats presence in-query
     "q49_files_inventory" ->
       """SELECT 'base' AS kind, count(*) AS n_rows FROM events""",
+    // q50: sort-clustered scan — the Spark side CALLs system.cluster and
+    // asserts in-query that the user_id range skips >= half the files;
+    // the oracle recomputes the same max-derived range on raw events
+    "q50_clustered_scan" ->
+      """SELECT event_type, count(*) AS n, min(user_id) AS min_u, max(user_id) AS max_u
+         FROM events WHERE user_id <= (SELECT max(user_id) FROM events) // 10
+         GROUP BY event_type ORDER BY event_type""",
     "q39f_sql_merge_fullsync" ->
       """WITH c AS (SELECT user_id, event_type, value FROM events
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)

@@ -585,7 +585,8 @@ object lake {
       * scan of the data). */
     private def writeBucketed(df: DataFrame, snap: Snapshot, newVersion: Long,
         repartitionByBucket: Boolean = true, kind: String = "base",
-        withRowLsn: Boolean = false): Seq[DataFile] = {
+        withRowLsn: Boolean = false, sortCols: Seq[String] = Nil,
+        maxRowsPerFile: Option[Long] = None): Seq[DataFile] = {
       val outDir = dataDir.resolve(s"$newVersion-${UUID.randomUUID().toString.take(8)}")
       val metaCols =
         if (kind == "delta") Seq(col("lsn"), col("op"))
@@ -596,8 +597,17 @@ object lake {
         .select((cols :+ col("_b")).toSeq: _*)
       // merge output is already hash-partitioned on the key columns, which
       // determines the bucket — skip the extra shuffle in that case
-      val laidOut = if (repartitionByBucket) bucketed.repartition(col("_b")) else bucketed
-      timed("write:parquet")(laidOut.write.partitionBy("_b").parquet(outDir.toString))
+      val laidOut0 = if (repartitionByBucket) bucketed.repartition(col("_b")) else bucketed
+      // clustering (see [[cluster]]): rows arrive at the dynamic-partition
+      // writer sorted by (_b, sortCols), so each maxRecordsPerFile split is
+      // a contiguous SORTED run — per-file bounds come out tight and
+      // pairwise disjoint, which is what makes range predicates skip
+      val laidOut =
+        if (sortCols.isEmpty) laidOut0
+        else laidOut0.sortWithinPartitions((col("_b") +: sortCols.map(col)).toSeq: _*)
+      val writer = maxRowsPerFile.foldLeft(laidOut.write)(
+        (w, n) => w.option("maxRecordsPerFile", n.toString))
+      timed("write:parquet")(writer.partitionBy("_b").parquet(outDir.toString))
       val paths = timed("write:list")(listParquet(outDir))
       // footer reads are driver-side; parallelize so commit latency stays
       // O(files / threads), not O(files)
@@ -1378,6 +1388,46 @@ object lake {
       val next = reshaped.copy(version = cur.version + 1, files = nf, manifests = nm,
         foldedLsnHigh = foldDeltas(cur, oldDeltas))
       require(commit(next, fence = false), "rebucket commit failed")
+      next.version
+    }
+
+    /** Sort-cluster maintenance op: rewrite every bucket ordered by
+      * `sortCols`, split into files of at most `maxRowsPerFile` rows. The
+      * bucket layout (key hashing) is untouched — clustering changes the
+      * order WITHIN buckets, so a bucket becomes several files with tight,
+      * pairwise-disjoint bounds on the sort columns and a non-key range or
+      * equality predicate then skips most of the bucket's files at planning
+      * time ([[skipping]]). This is the file-bounds complement of bucket
+      * pruning: key predicates prune buckets, clustered-column predicates
+      * prune files within buckets. Logically a no-op (fenced-neutral full
+      * CoW rewrite, per-row `_lsn` preserved, outstanding MoR deltas
+      * absorbed with the fold watermark advanced — stale feeds refuse,
+      * exactly like [[rebucket]]). Iceberg analog: rewriteDataFiles with a
+      * sort order. Returns the new snapshot version. */
+    def cluster(sortCols: Seq[String], maxRowsPerFile: Long = 1L << 20): Long = synchronized {
+      val cur = snapshot
+      require(sortCols.nonEmpty, "cluster needs at least one sort column")
+      require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive, got $maxRowsPerFile")
+      // resolve case-insensitively to the schema's spelling
+      val resolved = sortCols.map { c =>
+        cur.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cluster column '$c' not in schema ${cur.schema.fieldNames.mkString("(", ", ", ")")}"))
+      }
+      val olds = filesOf(cur)
+      val oldDeltas = olds.filter(_.kind == "delta")
+      val data = readBucketsWithLsn(cur, None)
+      val stamped = olds.filter(_.lsnMin >= 0)
+      val (lo, hi) =
+        if (stamped.isEmpty) (-1L, -1L)
+        else (stamped.map(_.lsnMin).min, stamped.map(_.lsnMax).max)
+      val newFiles = writeBucketed(data, cur, cur.version + 1, withRowLsn = true,
+        sortCols = resolved, maxRowsPerFile = Some(maxRowsPerFile))
+        .map(_.copy(lsnMin = lo, lsnMax = hi))
+      val (nf, nm) = nextFileState(cur, (0 until cur.numBuckets).toSet, newFiles)
+      val next = cur.copy(version = cur.version + 1, files = nf, manifests = nm,
+        foldedLsnHigh = foldDeltas(cur, oldDeltas))
+      require(commit(next, fence = false), "cluster commit failed")
       next.version
     }
 

@@ -1038,4 +1038,47 @@ object cdcq {
       s"q49 expects skipping stats on every file, got $shape")
     inv
   }
+
+  /** Sort-clustering (`CALL system.cluster`): the event log keyed by
+    * event_id is rewritten with each bucket sorted by user_id into bounded
+    * files — per-file user_id bounds come out tight and disjoint, so a
+    * user_id range predicate skips most files of every bucket (asserted
+    * in-query via ScanStats: files read <= half the live files). The range
+    * bound derives from max(user_id) so selectivity is scale-invariant;
+    * the oracle recomputes the same filter and aggregate over raw events. */
+  def clusteredScan(spark: SparkSession, dir: String): DataFrame = {
+    val cat = s"gclu${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-cluq").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_cl")
+    spark.sql(s"""CREATE TABLE $cat.db.ev_cl (event_id BIGINT, user_id BIGINT, event_type STRING)
+                  TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .writeTo(s"$cat.db.ev_cl").append()
+    // scale the file cap with the data so every sf yields >= 3-4 sorted
+    // files per bucket (a fixed cap degenerates to one file per bucket at
+    // small scale factors and the skip assertion below turns vacuous)
+    val (rowsTotal, maxUser) = {
+      val r = events.agg(count(lit(1)), max(col("user_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val cap = math.max(50L, rowsTotal / 32L)
+    spark.sql(s"CALL $cat.system.cluster(`table` => 'db.ev_cl', sort_by => 'user_id', max_rows_per_file => $cap)")
+    val bound = maxUser / 10L
+    graft.cdc.skipping.ScanStats.last.set(None)
+    val agg = spark.sql(
+      s"""SELECT event_type, count(*) AS n, min(user_id) AS min_u, max(user_id) AS max_u
+          FROM $cat.db.ev_cl WHERE user_id <= $bound
+          GROUP BY event_type ORDER BY event_type""")
+    agg.collect() // land ScanStats for the assertion
+    val st = graft.cdc.skipping.ScanStats.last.get()
+    require(st.exists { case (_, _, fr, ft) => ft >= 16 && fr * 2 <= ft },
+      s"q50 clustered range scan must skip at least half the files, got $st")
+    agg
+  }
 }

@@ -38,7 +38,7 @@ object GraftProcedures {
 
   /** Procedure names under the `system` namespace, in SHOW PROCEDURES order. */
   val names: Seq[String] =
-    Seq("compact", "compact_deltas", "vacuum", "expire_snapshots", "rebucket")
+    Seq("compact", "compact_deltas", "vacuum", "expire_snapshots", "rebucket", "cluster")
 
   def load(name: String, resolve: String => lake.LakeTable): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -89,6 +89,19 @@ object GraftProcedures {
           val t = res(in.getUTF8String(0).toString)
           val v = t.rebucket(in.getInt(1))
           Array[Any](v, in.getInt(1))
+        }, resolve))
+      case "cluster" => Some(new GraftProcedure("cluster",
+        "Rewrite each bucket sorted by the given columns, split into bounded files " +
+          "(logical no-op; makes non-key range predicates skip files)",
+        Seq(param("table", StringType, None, "lake table, e.g. 'db.t'"),
+          param("sort_by", StringType, None, "comma-separated sort columns"),
+          param("max_rows_per_file", LongType, Some(s"${1L << 20}"),
+            "row cap per rewritten file")),
+        StructType(Seq(StructField("new_version", LongType, nullable = false))),
+        { (in, res) =>
+          val t = res(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Array[Any](t.cluster(cols, in.getLong(2)))
         }, resolve))
       case _ => None
     }

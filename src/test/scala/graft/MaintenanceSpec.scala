@@ -155,6 +155,63 @@ class MaintenanceSpec extends SparkSuite {
       "manifests must migrate back inline")
   }
 
+  test("cluster: sorted bounded files per bucket; non-key range predicates skip files") {
+    val cfg = gen.GenConfig(n = 12000, nKeys = 1500, numPartitions = 4)
+    val root = tmpDir("cluster")
+    val table = LakeTable.createIfNotExists(spark, root, "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 6000), 0)
+    engine.applyEpoch(all.filter(col("lsn") >= 6000), 1)
+    val before = table.read().orderBy("repo", "path").collect().toSeq
+    val filesBefore = table.filesOf(table.snapshot)
+    // cluster by commit hash — a column unrelated to the bucket key
+    val v = table.cluster(Seq("commit"), maxRowsPerFile = 100)
+    val snap = table.snapshot
+    assert(snap.version == v && snap.numBuckets == 4, "layout untouched")
+    val files = table.filesOf(snap)
+    assert(files.size > filesBefore.size && files.forall(_.kind == "base"),
+      s"expected several bounded files per bucket, got ${files.size} (was ${filesBefore.size})")
+    assert(files.forall(_.rows <= 100), "maxRowsPerFile must cap every file")
+    // per-bucket files carry DISJOINT commit bounds (sorted contiguous runs)
+    files.groupBy(_.bucket).foreach { case (b, fs) =>
+      val bounds = fs.flatMap(f => f.stats.flatMap(_.get("commit"))
+        .flatMap(cs => cs.min.zip(cs.max))).sortBy(_._1)
+      assert(bounds.nonEmpty, s"bucket $b files must carry commit bounds")
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"bucket $b bounds overlap: $hi > $lo2")
+        case _ =>
+      }
+    }
+    // logical no-op
+    assert(table.read().orderBy("repo", "path").collect().toSeq == before)
+    // a selective non-key equality now skips most files at planning time
+    val probe = before.head.getAs[String]("commit")
+    skipping.ScanStats.last.set(None)
+    val hits = table.readWhere(snap,
+      Seq(org.apache.spark.sql.sources.EqualTo("commit", probe))).collect()
+    assert(hits.exists(_.getAs[String]("commit") == probe))
+    val Some((_, _, filesRead, filesTotal)) = skipping.ScanStats.last.get()
+    // floor = one file per bucket (disjoint sorted runs -> the probe value
+    // can live in at most one file of each bucket)
+    assert(filesTotal == files.size && filesRead <= snap.numBuckets,
+      s"clustered equality should skip to <= 1 file per bucket: read $filesRead of $filesTotal")
+    // merges after clustering stay exact: per-row _lsn survived the rewrite
+    val stamped = table.filesOf(snap).filter(_.rowLsn)
+    assert(stamped.nonEmpty, "clustered base files must keep the row-lsn column")
+    // SQL surface
+    spark.conf.set("spark.sql.catalog.gcl", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", tmpDir("cluster-wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.db")
+    spark.sql("CREATE TABLE gcl.db.c (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='2')")
+    spark.sql("INSERT INTO gcl.db.c SELECT id, concat('v', id % 50) FROM range(0, 5000)")
+    val res = spark.sql(
+      "CALL gcl.system.cluster(`table` => 'db.c', sort_by => 'v', max_rows_per_file => 500)")
+    assert(res.collect()(0).getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) c FROM gcl.db.c WHERE v = 'v7'").collect()(0).getLong(0) == 100)
+  }
+
   test("rebucket: 4 -> 128 flips layout+chunking, absorbs deltas, merge continues exactly") {
     val cfg = gen.GenConfig(n = 12000, nKeys = 1500, deletePct = 10, numPartitions = 4)
     val root = tmpDir("rebucket")
