@@ -10,7 +10,7 @@ import graft.ops._
   * functions, explode) plus the training-data-pipeline operators (dedup
   * family, similarity search, text analysis, multimodal plumbing) and the CDC
   * engine itself replayed end-to-end in both CoW and MoR modes (q30/q30b/q31).
-  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query (48 of 48) —
+  * `oracleSql` carries DuckDB-equivalent SQL for EVERY query in `queries` —
   * including the hash-sketch/ANN family, whose sha256-derived components and
   * literal-embedded hyperplane/centroid geometry are bit-reproducible in SQL.
   */

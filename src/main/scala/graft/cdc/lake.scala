@@ -113,9 +113,15 @@ object lake {
         * Resolve with LakeTable.filesOf / filesOfBuckets, never `files`
         * alone. */
       manifests: Seq[ManifestRef] = Nil) {
+    // memoized per Snapshot instance: planning consults schemaOf per FILE
+    // (old-schema stats projection), and re-parsing the schema JSON per
+    // file would dominate driver-side planning right after an ALTER
+    // (non-constructor field: invisible to json4s, reset by copy())
+    @transient private lazy val schemaMemo =
+      new java.util.concurrent.ConcurrentHashMap[Int, StructType]()
     def schema: StructType = schemaOf(schemaVersion)
-    def schemaOf(v: Int): StructType =
-      DataType.fromJson(schemas(v.toString)).asInstanceOf[StructType]
+    def schemaOf(v: Int): StructType = schemaMemo.computeIfAbsent(v,
+      k => DataType.fromJson(schemas(k.toString)).asInstanceOf[StructType])
     def registry: SchemaRegistry = SchemaRegistry(schemas.map { case (k, v) =>
       k.toInt -> DataType.fromJson(v).asInstanceOf[StructType]
     })
@@ -1417,13 +1423,17 @@ object lake {
       val olds = filesOf(cur)
       val oldDeltas = olds.filter(_.kind == "delta")
       val data = readBucketsWithLsn(cur, None)
-      val stamped = olds.filter(_.lsnMin >= 0)
-      val (lo, hi) =
-        if (stamped.isEmpty) (-1L, -1L)
-        else (stamped.map(_.lsnMin).min, stamped.map(_.lsnMax).max)
+      // bucket membership is unchanged (unlike rebucket's global envelope),
+      // so stamp each rewritten file with ITS bucket's old lsn range — the
+      // tight per-bucket fold compact() uses (-1 sentinel excluded)
+      val oldByBucket = olds.groupBy(_.bucket)
       val newFiles = writeBucketed(data, cur, cur.version + 1, withRowLsn = true,
         sortCols = resolved, maxRowsPerFile = Some(maxRowsPerFile))
-        .map(_.copy(lsnMin = lo, lsnMax = hi))
+        .map { f =>
+          val stamped = oldByBucket.getOrElse(f.bucket, Nil).filter(_.lsnMin >= 0)
+          f.copy(lsnMin = if (stamped.isEmpty) -1L else stamped.map(_.lsnMin).min,
+            lsnMax = if (stamped.isEmpty) -1L else stamped.map(_.lsnMax).max)
+        }
       val (nf, nm) = nextFileState(cur, (0 until cur.numBuckets).toSet, newFiles)
       val next = cur.copy(version = cur.version + 1, files = nf, manifests = nm,
         foldedLsnHigh = foldDeltas(cur, oldDeltas))

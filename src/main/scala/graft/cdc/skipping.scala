@@ -51,14 +51,17 @@ object skipping {
     // (min, max, nulls) accumulators keyed by dotted column path
     val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, Long)]()
     val dead = scala.collection.mutable.HashSet[String]()
-    for (b <- blocks; c <- b.getColumns.asScala) {
+    for ((b, bi) <- blocks.zipWithIndex; c <- b.getColumns.asScala) {
       val name = c.getPath.toDotString
-      // the cap limits NEW columns only: a column already accumulated must
-      // keep merging every later row group's bounds — stopping mid-file
-      // would record partial (first-row-groups-only) bounds as file-wide
-      // bounds, and pruning against those silently drops matching rows
+      // the cap limits NEW columns only, and new columns are admitted ONLY
+      // while walking the FIRST row group: a column already accumulated
+      // must keep merging every later group's bounds (partial bounds prune
+      // files that still hold matching rows), and a column the cap skipped
+      // in group 1 must stay out even if a death later frees a slot —
+      // admitting it mid-file would record last-groups-only bounds, the
+      // same unsoundness from the other side
       if (!dead(name) && c.getPath.size() == 1 &&
-          (acc.contains(name) || acc.size < MaxStatsColumns + dead.size)) {
+          (acc.contains(name) || (bi == 0 && acc.size < MaxStatsColumns + dead.size))) {
         canonical(c) match {
           case None => dead += name; acc.remove(name); ()
           case Some((mn, mx, nl)) =>

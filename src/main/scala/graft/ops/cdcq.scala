@@ -18,6 +18,20 @@ import graft.cdc.model._
   * correctness gate.
   */
 object cdcq {
+  /** One GraftCatalog per (prefix, dataset dir), created on first use with a
+    * temp warehouse and a `db` namespace; returns the catalog name. Shared
+    * by every SQL-surface oracle query so catalog setup can't drift. */
+  private def ensureCatalog(spark: SparkSession, dir: String, prefix: String): String = {
+    val cat = s"$prefix${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    cat
+  }
+
 
   /** Map the events table to change events with the north-rule key shape. */
   private def asChanges(spark: SparkSession, dir: String): DataFrame =
@@ -128,13 +142,7 @@ object cdcq {
     * the `t.changes_since_<v>` metadata table — CDC-out as a first-class
     * SQL citizen, same relational oracle as q42. */
   def changeFeedSql(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gcf${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-cf-sql").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gcf")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.repo_files")
     spark.sql(
       s"""CREATE TABLE $cat.db.repo_files
@@ -215,13 +223,7 @@ object cdcq {
     * surviving deltas, fence intact), so a silently-skipped rebucket fails
     * the query rather than trivially matching the oracle. */
   def replayRebucket(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"grb${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-rb-sql").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "grb")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.repo_files")
     spark.sql(
       s"""CREATE TABLE $cat.db.repo_files
@@ -658,13 +660,7 @@ object cdcq {
     * every statement runs the engine's tombstone merge kernel. The oracle
     * re-derives the same flag-then-delete pipeline relationally. */
   def sqlRowLevel(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"grl${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-rowlevel").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "grl")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
     spark.sql(
       s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
@@ -689,13 +685,7 @@ object cdcq {
     * only the key + referenced columns). The oracle re-derives the same
     * flag-and-add pipeline relationally. */
   def sqlMergePartialSet(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gmp${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-mpartial").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gmp")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
     spark.sql(
       s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
@@ -724,13 +714,7 @@ object cdcq {
     * and error-latest) are tombstoned through the same merge kernel. The
     * oracle re-derives the synced state relationally. */
   def sqlMergeFullSync(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gfs${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-fullsync").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gfs")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
     spark.sql(
       s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
@@ -762,13 +746,7 @@ object cdcq {
     * the generator's cnt~[49,88], maxv<=~250 envelope). The oracle
     * re-derives the cascade with disjoint CASE branches. */
   def sqlMergeMultiLeg(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gml${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-multileg").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gml")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.users")
     spark.sql(
       s"""CREATE TABLE $cat.db.users (user_id BIGINT, event_type STRING, value DOUBLE)
@@ -876,13 +854,7 @@ object cdcq {
     * of any key-aligned star join. The oracle re-derives both sides from
     * the raw events and joins them in DuckDB. */
   def spjJoin(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gspj${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-spjq").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gspj")
     Seq("user_latest", "user_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.db.$t"))
     spark.sql(s"""CREATE TABLE $cat.db.user_latest (user_id BIGINT, event_type STRING)
                   TBLPROPERTIES ('primary_key'='user_id', 'buckets'='8')""")
@@ -925,13 +897,7 @@ object cdcq {
     * is the difference between a full-table scan job and a manifest fold.
     * The oracle recomputes the same aggregates over the raw events. */
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gagg${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-aggq").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gagg")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_log")
     spark.sql(s"""CREATE TABLE $cat.db.ev_log (event_id BIGINT, user_id BIGINT, event_type STRING)
                   TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
@@ -961,13 +927,7 @@ object cdcq {
     * complement of SPJ: the fact side's I/O scales with the DIM's
     * selectivity, not the fact's size. Oracle: the same join recomputed raw. */
   def runtimePrune(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"grtf${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-rtfq").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "grtf")
     Seq("ev_fact", "ev_dim").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.db.$t"))
     spark.sql(s"""CREATE TABLE $cat.db.ev_fact (event_id BIGINT, user_id BIGINT, event_type STRING)
                   TBLPROPERTIES ('primary_key'='event_id', 'buckets'='16')""")
@@ -1012,13 +972,7 @@ object cdcq {
     * checks pin the shape the oracle can't see: one base file per non-empty
     * bucket, every file carrying skipping stats. */
   def filesInventory(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gfil${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-filq").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gfil")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_inv")
     spark.sql(s"""CREATE TABLE $cat.db.ev_inv (event_id BIGINT, user_id BIGINT, event_type STRING)
                   TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
@@ -1047,13 +1001,7 @@ object cdcq {
     * bound derives from max(user_id) so selectivity is scale-invariant;
     * the oracle recomputes the same filter and aggregate over raw events. */
   def clusteredScan(spark: SparkSession, dir: String): DataFrame = {
-    val cat = s"gclu${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
-      spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory("graft-cluq").toString)
-    }
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val cat = ensureCatalog(spark, dir, "gclu")
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.ev_cl")
     spark.sql(s"""CREATE TABLE $cat.db.ev_cl (event_id BIGINT, user_id BIGINT, event_type STRING)
                   TBLPROPERTIES ('primary_key'='event_id', 'buckets'='8')""")
