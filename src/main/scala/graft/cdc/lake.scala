@@ -604,14 +604,25 @@ object lake {
       // merge output is already hash-partitioned on the key columns, which
       // determines the bucket — skip the extra shuffle in that case
       val laidOut0 = if (repartitionByBucket) bucketed.repartition(col("_b")) else bucketed
+      // cluster-on-write: explicit args (the cluster() op) win; otherwise
+      // BASE writes honor the table's `graft.cluster.by` policy so the
+      // layout persists across merges/compactions instead of decaying.
+      // Delta writes never sort — they are change logs, ordered by nature.
+      val (effSort, effCap) =
+        if (sortCols.nonEmpty || kind == "delta") (sortCols, maxRowsPerFile)
+        else clusterPolicy(snap)
       // clustering (see [[cluster]]): rows arrive at the dynamic-partition
       // writer sorted by (_b, sortCols), so each maxRecordsPerFile split is
       // a contiguous SORTED run — per-file bounds come out tight and
-      // pairwise disjoint, which is what makes range predicates skip
+      // pairwise disjoint when a bucket lives in one task partition
+      // (repartitionByBucket / cluster / compact / rebucket); merge-path
+      // writes (already key-partitioned, no re-shuffle) may split a bucket
+      // across tasks, where per-file bounds stay tight but can overlap
+      // between tasks' files — skipping is may-match, so still sound
       val laidOut =
-        if (sortCols.isEmpty) laidOut0
-        else laidOut0.sortWithinPartitions((col("_b") +: sortCols.map(col)).toSeq: _*)
-      val writer = maxRowsPerFile.foldLeft(laidOut.write)(
+        if (effSort.isEmpty) laidOut0
+        else laidOut0.sortWithinPartitions((col("_b") +: effSort.map(col)).toSeq: _*)
+      val writer = effCap.foldLeft(laidOut.write)(
         (w, n) => w.option("maxRecordsPerFile", n.toString))
       timed("write:parquet")(writer.partitionBy("_b").parquet(outDir.toString))
       val paths = timed("write:list")(listParquet(outDir))
@@ -629,6 +640,28 @@ object lake {
           -1L, -1L, kind, rowLsn = kind == "base" && withRowLsn, stats = stats)
       }.collect(java.util.stream.Collectors.toList[DataFile]).asScala.toSeq
     }
+
+    /** Cluster-on-write policy from table properties: `graft.cluster.by =
+      * c1,c2` (+ optional `graft.cluster.maxRowsPerFile`, default 1M) makes
+      * every base rewrite keep each bucket sorted by the given columns in
+      * bounded files — set it once (e.g. after `CALL system.cluster`) and
+      * the clustering persists instead of decaying on the next merge.
+      * Policy rules, not commit rules: unknown columns are dropped silently
+      * (case-insensitive resolution) and a malformed cap falls back to the
+      * default — a layout preference must never fail a data commit. */
+    private def clusterPolicy(snap: Snapshot): (Seq[String], Option[Long]) =
+      snap.properties.get("graft.cluster.by") match {
+        case None => (Nil, None)
+        case Some(csv) =>
+          val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            .flatMap(c => snap.schema.fieldNames.find(_.equalsIgnoreCase(c)))
+          if (cols.isEmpty) (Nil, None)
+          else {
+            val cap = snap.properties.get("graft.cluster.maxRowsPerFile")
+              .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
+            (cols, cap.orElse(Some(1L << 20)))
+          }
+      }
 
     private def listParquet(dir: Path): Seq[Path] = {
       val out = Seq.newBuilder[Path]

@@ -212,6 +212,36 @@ class MaintenanceSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) c FROM gcl.db.c WHERE v = 'v7'").collect()(0).getLong(0) == 100)
   }
 
+  test("cluster-on-write policy: merges and compactions keep the sorted bounded layout") {
+    val cfg = gen.GenConfig(n = 8000, nKeys = 1200, numPartitions = 4)
+    val table = LakeTable.createIfNotExists(spark, tmpDir("clpol"), "t",
+      RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4,
+      properties = Map("graft.cluster.by" -> "commit", "graft.cluster.maxRowsPerFile" -> "150"))
+    val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1))
+    val all = gen.changeEvents(spark, cfg)
+    engine.applyEpoch(all.filter(col("lsn") < 4000), 0)
+    engine.applyEpoch(all.filter(col("lsn") >= 4000), 1)
+    // merge output honors the policy: capped sorted files, several per bucket
+    val files = table.filesOf(table.snapshot)
+    assert(files.forall(_.rows <= 150), s"policy cap violated: ${files.map(_.rows).max}")
+    assert(files.groupBy(_.bucket).values.exists(_.size > 1), "expected split files")
+    assert(files.forall(_.stats.exists(_.contains("commit"))), "sort-column bounds missing")
+    val before = table.read().orderBy("repo", "path").collect().toSeq
+    // compaction rewrites under the same policy with per-bucket DISJOINT runs
+    assert(table.compact(minFiles = 2) > 0)
+    val after = table.filesOf(table.snapshot)
+    assert(after.forall(_.rows <= 150) && after.forall(_.kind == "base"))
+    after.groupBy(_.bucket).foreach { case (b, fs) =>
+      val bounds = fs.flatMap(_.stats.flatMap(_.get("commit")).flatMap(cs => cs.min.zip(cs.max)))
+        .sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"bucket $b overlap after compact")
+        case _ =>
+      }
+    }
+    assert(table.read().orderBy("repo", "path").collect().toSeq == before, "logical no-op")
+  }
+
   test("rebucket: 4 -> 128 flips layout+chunking, absorbs deltas, merge continues exactly") {
     val cfg = gen.GenConfig(n = 12000, nKeys = 1500, deletePct = 10, numPartitions = 4)
     val root = tmpDir("rebucket")
