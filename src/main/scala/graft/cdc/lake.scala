@@ -122,9 +122,8 @@ object lake {
     def schema: StructType = schemaOf(schemaVersion)
     def schemaOf(v: Int): StructType = schemaMemo.computeIfAbsent(v,
       k => DataType.fromJson(schemas(k.toString)).asInstanceOf[StructType])
-    def registry: SchemaRegistry = SchemaRegistry(schemas.map { case (k, v) =>
-      k.toInt -> DataType.fromJson(v).asInstanceOf[StructType]
-    })
+    def registry: SchemaRegistry =
+      SchemaRegistry(schemas.keysIterator.map(k => k.toInt -> schemaOf(k.toInt)).toMap)
   }
 
   /** Per-bucket lineage emitted by every committing operation (FIXTURES.md B4). */
@@ -379,6 +378,14 @@ object lake {
       pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     }
 
+    /** Per-bucket ROW sums, likewise O(refs) in chunked mode (ManifestRef
+      * carries the sum; pre-field refs report 0 = unknown, never a lie). */
+    private def rowsByBucket(snap: Snapshot): Map[Int, Long] = {
+      val pairs = snap.files.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toSeq ++
+        snap.manifests.map(m => m.bucket -> m.rows)
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+
     /** Per-bucket DELTA-file counts, likewise O(refs) in chunked mode. */
     private def deltaCountsByBucket(snap: Snapshot): Map[Int, Int] = {
       val pairs = snap.files.filter(_.kind == "delta")
@@ -608,9 +615,12 @@ object lake {
       // BASE writes honor the table's `graft.cluster.by` policy so the
       // layout persists across merges/compactions instead of decaying.
       // Delta writes never sort — they are change logs, ordered by nature.
-      val (effSort, effCap) =
-        if (sortCols.nonEmpty || kind == "delta") (sortCols, maxRowsPerFile)
-        else clusterPolicy(snap)
+      // An explicit maxRowsPerFile is honored regardless of sortCols (the
+      // policy only FILLS what the caller left unset).
+      val (polSort, polCap) =
+        if (sortCols.isEmpty && kind != "delta") clusterPolicy(snap) else (Nil, None)
+      val effSort = if (sortCols.nonEmpty) sortCols else polSort
+      val effCap = maxRowsPerFile.orElse(polCap)
       // clustering (see [[cluster]]): rows arrive at the dynamic-partition
       // writer sorted by (_b, sortCols), so each maxRecordsPerFile split is
       // a contiguous SORTED run — per-file bounds come out tight and
@@ -646,15 +656,19 @@ object lake {
       * every base rewrite keep each bucket sorted by the given columns in
       * bounded files — set it once (e.g. after `CALL system.cluster`) and
       * the clustering persists instead of decaying on the next merge.
-      * Policy rules, not commit rules: unknown columns are dropped silently
-      * (case-insensitive resolution) and a malformed cap falls back to the
-      * default — a layout preference must never fail a data commit. */
+      * Policy rules, not commit rules: unknown and UNORDERABLE columns
+      * (map types) are dropped silently (case-insensitive resolution) and
+      * a malformed cap falls back to the default — a layout preference
+      * must never fail a data commit. */
     private def clusterPolicy(snap: Snapshot): (Seq[String], Option[Long]) =
       snap.properties.get("graft.cluster.by") match {
         case None => (Nil, None)
         case Some(csv) =>
           val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            .flatMap(c => snap.schema.fieldNames.find(_.equalsIgnoreCase(c)))
+            .flatMap(c => snap.schema.fields.find(_.name.equalsIgnoreCase(c)))
+            .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType))
+            .map(_.name)
           if (cols.isEmpty) (Nil, None)
           else {
             val cap = snap.properties.get("graft.cluster.maxRowsPerFile")
@@ -1369,8 +1383,19 @@ object lake {
       * left alone. Returns the number of buckets compacted. */
     def compact(minFiles: Int = 2): Int = synchronized {
       val cur = snapshot
-      // bucket selection is ref-count-only (no manifest reads)
-      val buckets = fileCountsByBucket(cur).filter(_._2 >= minFiles).keySet
+      // bucket selection is ref-count-only (no manifest reads). Under a
+      // cluster-on-write policy the TARGET layout is ceil(rows / cap) files
+      // per bucket, not one: a bucket already at (or under) its target is
+      // done — without this, scheduled compactions would rewrite perfectly
+      // laid-out buckets forever and always report progress
+      val expected: Int => Long = clusterPolicy(cur)._2 match {
+        case None => _ => 1L
+        case Some(cap) =>
+          val rows = rowsByBucket(cur)
+          b => math.max(1L, (rows.getOrElse(b, 0L) + cap - 1) / cap)
+      }
+      val buckets = fileCountsByBucket(cur)
+        .filter { case (b, n) => n >= minFiles && n > expected(b) }.keySet
       if (buckets.isEmpty) return 0
       val toCompact = filesOfBuckets(cur, Some(buckets)).groupBy(_.bucket)
       val data = readBucketsWithLsn(cur, Some(buckets))

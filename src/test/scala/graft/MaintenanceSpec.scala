@@ -226,9 +226,18 @@ class MaintenanceSpec extends SparkSuite {
     assert(files.forall(_.rows <= 150), s"policy cap violated: ${files.map(_.rows).max}")
     assert(files.groupBy(_.bucket).values.exists(_.size > 1), "expected split files")
     assert(files.forall(_.stats.exists(_.contains("commit"))), "sort-column bounds missing")
+    // push buckets past their policy target with two appends, then compact:
+    // it must rewrite under the policy (capped, per-bucket DISJOINT sorted
+    // runs) and then CONVERGE — a bucket at its ceil(rows/cap) target is
+    // done, so the next compact is a no-op instead of an eternal rewrite
+    import spark.implicits._
+    (0 until 2).foreach { a =>
+      table.append((0 until 40).map(i =>
+        (s"rx$i", s"px$i-$a", s"zz$a$i", "scala", "body")).toDF(
+        RepoRow.schemaV1.fieldNames.toIndexedSeq: _*))
+    }
     val before = table.read().orderBy("repo", "path").collect().toSeq
-    // compaction rewrites under the same policy with per-bucket DISJOINT runs
-    assert(table.compact(minFiles = 2) > 0)
+    assert(table.compact(minFiles = 2) > 0, "over-target buckets must compact")
     val after = table.filesOf(table.snapshot)
     assert(after.forall(_.rows <= 150) && after.forall(_.kind == "base"))
     after.groupBy(_.bucket).foreach { case (b, fs) =>
@@ -240,6 +249,7 @@ class MaintenanceSpec extends SparkSuite {
       }
     }
     assert(table.read().orderBy("repo", "path").collect().toSeq == before, "logical no-op")
+    assert(table.compact(minFiles = 2) == 0, "compact must converge under the policy")
   }
 
   test("rebucket: 4 -> 128 flips layout+chunking, absorbs deltas, merge continues exactly") {
