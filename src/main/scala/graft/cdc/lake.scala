@@ -72,7 +72,13 @@ object lake {
     * sums feed table-level statistics without reading it either (0 on
     * refs written before the fields existed = stats unknown, never a lie). */
   final case class ManifestRef(path: String, bucket: Int, numFiles: Int, deltaFiles: Int,
-      rows: Long = 0L, bytes: Long = 0L)
+      rows: Long = 0L, bytes: Long = 0L,
+      /** Min/max [[DataFile.schemaVersion]] across the manifest's files —
+        * lets planners prove "every file is on the current schema" from the
+        * refs ALONE (SPJ/aggregate eligibility), without opening any
+        * manifest. 0 = written before the fields existed = unknown, which
+        * forces the sweep, never a wrong answer. */
+      schemaVersionLo: Int = 0, schemaVersionHi: Int = 0)
 
   /** On-disk payload of one per-bucket manifest file. */
   final case class ManifestData(files: Seq[DataFile])
@@ -341,7 +347,9 @@ object lake {
       Files.writeString(Paths.get(root, rel), Serialization.write(ManifestData(files)))
       manifestCache.put(rel, files)
       ManifestRef(rel, bucket, files.size, files.count(_.kind == "delta"),
-        files.map(_.rows).sum, files.map(_.bytes).sum)
+        files.map(_.rows).sum, files.map(_.bytes).sum,
+        schemaVersionLo = if (files.isEmpty) 0 else files.map(_.schemaVersion).min,
+        schemaVersionHi = if (files.isEmpty) 0 else files.map(_.schemaVersion).max)
     }
 
     /** All data files of a snapshot (inline + manifest-resolved). In chunked

@@ -602,11 +602,15 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         * there is nothing to win. Guarded on no pushed filters (Spark
         * won't offer aggregates past this scan's always-kept residual
         * filters anyway — belt and braces). */
-      // ONE manifest sweep per scan build, shared by aggregate answering
-      // and SPJ eligibility (at the 10M-file envelope repeated filesOf
-      // calls are the planning cost this scan path exists to avoid); the
-      // deltas early-out skips the sweep entirely from manifest-ref counts
+      // manifest-SWEEP-FREE planning when possible: SPJ eligibility proves
+      // itself from the manifest REFS' schema-version stamps (then only the
+      // PRUNED buckets' manifests are ever read, by the scan itself); a
+      // sweep happens at most once per scan build, only for pre-stamp refs,
+      // shared with aggregate answering
       private lazy val allFiles: Seq[graft.cdc.lake.DataFile] = table.filesOf(snap)
+      private lazy val spjEligible: Boolean =
+        GraftSpj.eligibleByRefs(table.spark, snap).getOrElse(
+          GraftSpj.eligible(table.spark, snap, allFiles))
       private def anyDeltas: Boolean =
         snap.files.exists(_.kind == "delta") || snap.manifests.exists(_.deltaFiles > 0)
       // Spark probes supportCompletePushDown and pushAggregation with the
@@ -651,7 +655,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
         // plan without an Exchange. MoR deltas or old-schema files need
         // the fused merge / conform logic, which lives on the V1 relation
         // path below — the general fallback, bit-identical results.
-        if (!anyDeltas && GraftSpj.eligible(table.spark, snap, allFiles))
+        if (!anyDeltas && spjEligible)
           return new GraftKeyedScan(table, snap, required, pushed.toSeq, limit)
         new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           private val scanFilters = pushed

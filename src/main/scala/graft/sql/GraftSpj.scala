@@ -56,6 +56,28 @@ object GraftSpj {
       spark.conf.get("spark.graft.spj.enabled", "true") == "true" &&
       files.forall(f => f.kind == "base" && f.schemaVersion == snap.schemaVersion)
 
+  /** Refs-only eligibility proof: decide WITHOUT resolving any per-bucket
+    * manifest when every ref stamps its schema-version range (10M-file
+    * envelope: scan-build planning must not sweep the manifests just to
+    * pick a scan path; only the PRUNED buckets' manifests should ever be
+    * read). Some(x) = provable from refs + inline entries; None = a
+    * pre-field ref (version range 0 = unknown) forces the caller's sweep. */
+  def eligibleByRefs(spark: SparkSession, snap: lake.Snapshot): Option[Boolean] = {
+    if (snap.keyColumns.isEmpty ||
+        spark.conf.get("spark.graft.spj.enabled", "true") != "true")
+      return Some(false)
+    val inlineOk = snap.files.forall(f =>
+      f.kind == "base" && f.schemaVersion == snap.schemaVersion)
+    if (!inlineOk || snap.manifests.exists(_.deltaFiles > 0)) return Some(false)
+    if (snap.manifests.forall(m => m.numFiles == 0 ||
+        (m.schemaVersionLo == snap.schemaVersion && m.schemaVersionHi == snap.schemaVersion)))
+      Some(true)
+    else if (snap.manifests.exists(m => m.numFiles > 0 && m.schemaVersionLo > 0 &&
+        m.schemaVersionHi != snap.schemaVersion))
+      Some(false) // provably holds an old-schema file
+    else None // unknown-range refs: resolve by sweeping
+  }
+
   /** The transform this table's scans report; both join sides must agree on
     * (canonicalName, numBuckets) to co-partition.
     *

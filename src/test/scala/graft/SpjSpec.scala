@@ -242,6 +242,36 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("refs-only SPJ eligibility: chunked tables decide without reading any manifest") {
+    import graft.cdc.lake._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", StringType)))
+    val table = LakeTable.createIfNotExists(spark, tmpDir("spj-refs"), "t",
+      schema, Seq("k"), numBuckets = 128) // >64 -> chunked manifests
+    import spark.implicits._
+    table.append((0L until 2000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // a FRESH handle proves eligibility from the refs' schema-version
+    // stamps alone — zero manifest reads at decision time
+    val fresh = LakeTable.load(spark, table.root, "t")
+    val snap = fresh.snapshot
+    assert(snap.files.isEmpty && snap.manifests.nonEmpty, "precondition: chunked")
+    assert(graft.sql.GraftSpj.eligibleByRefs(spark, snap).contains(true))
+    assert(fresh.manifestReads.get() == 0, "refs-only proof must not open manifests")
+    // pre-stamp (legacy) refs: unknown -> None, caller sweeps
+    val legacy = snap.copy(manifests =
+      snap.manifests.map(_.copy(schemaVersionLo = 0, schemaVersionHi = 0)))
+    assert(graft.sql.GraftSpj.eligibleByRefs(spark, legacy).isEmpty)
+    // a ref provably on an OLD schema version -> Some(false), still no sweep
+    val widened = snap.copy(schemaVersion = snap.schemaVersion + 1,
+      schemas = snap.schemas + ((snap.schemaVersion + 1).toString -> snap.schema.json))
+    assert(graft.sql.GraftSpj.eligibleByRefs(spark, widened).contains(false))
+    // outstanding deltas visible in the ref counts -> Some(false)
+    val withDeltas = snap.copy(manifests =
+      snap.manifests.updated(0, snap.manifests.head.copy(deltaFiles = 1)))
+    assert(graft.sql.GraftSpj.eligibleByRefs(spark, withDeltas).contains(false))
+  }
+
   test("catalog bucket functions match the write layout hash exactly") {
     val cat = freshCatalog("fn")
     // parity oracle: the layout hash is pmod(hash(keys), nb) (lake.bucketExpr)
