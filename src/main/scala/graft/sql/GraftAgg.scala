@@ -53,6 +53,25 @@ object GraftAgg {
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.agg.pushdown.enabled", "true") == "true"
 
+  /** `count(*)`-only aggregations answered from the manifest REFS alone —
+    * zero manifest files opened (the refs carry per-bucket row sums and
+    * delta counts): on a chunked 10M-file table the canonical
+    * `SELECT count(*)` becomes a pure snapshot-JSON fold. Refs written
+    * before the row sums existed report 0 with files present (unknown) and
+    * refuse here — the caller falls back to [[answer]] over resolved files. */
+  def answerFromRefs(snap: lake.Snapshot, agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val exprs = agg.aggregateExpressions.toSeq
+    if (exprs.isEmpty || !exprs.forall(_.isInstanceOf[CountStar])) return None
+    if (snap.files.exists(_.kind == "delta") || snap.manifests.exists(_.deltaFiles > 0))
+      return None
+    if (!snap.manifests.forall(m => m.numFiles == 0 || m.rows > 0)) return None // pre-sum refs
+    val total = java.lang.Long.valueOf(snap.files.map(_.rows).sum + snap.manifests.map(_.rows).sum)
+    Some((StructType(exprs.indices.map(i => StructField(s"agg_$i", LongType, nullable = true))),
+      new GenericInternalRow(Array.fill[Any](exprs.size)(total))))
+  }
+
   /** Try to answer `agg` from the manifest alone. Some = (schema of the one
     * answer row, the row); None = not answerable, take the scan path. */
   def answer(snap: lake.Snapshot, files: Seq[lake.DataFile], agg: Aggregation)

@@ -625,7 +625,8 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
           case _ =>
             val r =
               if (pushed.nonEmpty || anyDeltas || !GraftAgg.enabled(table.spark)) None
-              else GraftAgg.answer(snap, allFiles, aggregation)
+              else GraftAgg.answerFromRefs(snap, aggregation) // count(*): zero manifest reads
+                .orElse(GraftAgg.answer(snap, allFiles, aggregation))
             aggProbe = Some((aggregation, r))
             r
         }

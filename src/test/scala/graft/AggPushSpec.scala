@@ -93,6 +93,32 @@ class AggPushSpec extends SparkSuite {
     assert(rowOf(q) == "[99,500]")
   }
 
+  test("count(*) on a chunked table answers from the refs, zero manifest reads") {
+    import graft.cdc.lake._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", StringType)))
+    val table = LakeTable.createIfNotExists(spark, tmpDir("agg-refs"), "t",
+      schema, Seq("k"), numBuckets = 128) // chunked manifests
+    import spark.implicits._
+    table.append((0L until 3000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val fresh = LakeTable.load(spark, table.root, "t")
+    val snap = fresh.snapshot
+    assert(snap.manifests.nonEmpty && snap.files.isEmpty, "precondition: chunked")
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val countStar = new Aggregation(Array[AggregateFunc](new CountStar()), Array.empty)
+    val ans = graft.sql.GraftAgg.answerFromRefs(snap, countStar)
+    assert(ans.exists(_._2.getLong(0) == 3000L), s"refs must answer count(*): $ans")
+    assert(fresh.manifestReads.get() == 0, "refs-only count must not open manifests")
+    // min/max still needs the per-file stats -> refs path refuses
+    val minAgg = new Aggregation(Array[AggregateFunc](
+      new Min(org.apache.spark.sql.connector.expressions.Expressions.column("k"))), Array.empty)
+    assert(graft.sql.GraftAgg.answerFromRefs(snap, minAgg).isEmpty)
+    // pre-sum (legacy) refs refuse: unknown rows must never answer as 0
+    val legacy = snap.copy(manifests = snap.manifests.map(_.copy(rows = 0L)))
+    assert(graft.sql.GraftAgg.answerFromRefs(legacy, countStar).isEmpty)
+  }
+
   test("empty table, all-null column, and time travel") {
     val cat = freshCatalog("e")
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, n INT) TBLPROPERTIES ('primary_key'='k','buckets'='4')")
