@@ -43,6 +43,12 @@ import org.json4s.jackson.Serialization
   */
 object lake {
 
+  /** Process-wide manifest-read counter (sum over every table handle):
+    * pins the "refs-only planning never sweeps" claims in tests, where the
+    * SQL catalog's internal LakeTable handles are unreachable. Tests run
+    * sequentially in the forked JVM, so delta-measurement is race-free. */
+  val manifestReadsGlobal = new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class DataFile(
       path: String, // relative to table root
       bucket: Int,
@@ -119,6 +125,17 @@ object lake {
         * Resolve with LakeTable.filesOf / filesOfBuckets, never `files`
         * alone. */
       manifests: Seq[ManifestRef] = Nil) {
+    /** Any MoR delta files outstanding — O(refs), no manifest reads. */
+    def anyDeltas: Boolean =
+      files.exists(_.kind == "delta") || manifests.exists(_.deltaFiles > 0)
+    /** Total live rows from inline entries + ref sums, or None when a
+      * pre-sum ref (0 with files present) makes the total unknowable
+      * without resolving manifests. O(refs). */
+    def knownRows: Option[Long] =
+      if (manifests.forall(m => m.numFiles == 0 || m.rows > 0))
+        Some(files.map(_.rows).sum + manifests.map(_.rows).sum)
+      else None
+
     // memoized per Snapshot instance: planning consults schemaOf per FILE
     // (old-schema stats projection), and re-parsing the schema JSON per
     // file would dominate driver-side planning right after an ALTER
@@ -337,6 +354,7 @@ object lake {
     private def readManifest(ref: ManifestRef): Seq[DataFile] =
       manifestCache.computeIfAbsent(ref.path, p => {
         manifestReads.incrementAndGet()
+        lake.manifestReadsGlobal.incrementAndGet() // cross-handle observability
         Serialization.read[ManifestData](Files.readString(Paths.get(root, p))).files
       })
 

@@ -64,12 +64,12 @@ object GraftAgg {
     if (agg.groupByExpressions.nonEmpty) return None
     val exprs = agg.aggregateExpressions.toSeq
     if (exprs.isEmpty || !exprs.forall(_.isInstanceOf[CountStar])) return None
-    if (snap.files.exists(_.kind == "delta") || snap.manifests.exists(_.deltaFiles > 0))
-      return None
-    if (!snap.manifests.forall(m => m.numFiles == 0 || m.rows > 0)) return None // pre-sum refs
-    val total = java.lang.Long.valueOf(snap.files.map(_.rows).sum + snap.manifests.map(_.rows).sum)
-    Some((StructType(exprs.indices.map(i => StructField(s"agg_$i", LongType, nullable = true))),
-      new GenericInternalRow(Array.fill[Any](exprs.size)(total))))
+    if (snap.anyDeltas) return None
+    snap.knownRows.map { rows => // pre-sum refs -> None -> resolved-files path
+      val total = java.lang.Long.valueOf(rows)
+      (StructType(exprs.indices.map(i => StructField(s"agg_$i", LongType, nullable = true))),
+        new GenericInternalRow(Array.fill[Any](exprs.size)(total)))
+    }
   }
 
   /** Try to answer `agg` from the manifest alone. Some = (schema of the one

@@ -611,8 +611,7 @@ class GraftTable(val table: lake.LakeTable, val pinnedVersion: Option[Long])
       private lazy val spjEligible: Boolean =
         GraftSpj.eligibleByRefs(table.spark, snap).getOrElse(
           GraftSpj.eligible(table.spark, snap, allFiles))
-      private def anyDeltas: Boolean =
-        snap.files.exists(_.kind == "delta") || snap.manifests.exists(_.deltaFiles > 0)
+      private def anyDeltas: Boolean = snap.anyDeltas
       // Spark probes supportCompletePushDown and pushAggregation with the
       // same Aggregation instance — memoize by identity, not equality
       // (java records compare array components by reference anyway)

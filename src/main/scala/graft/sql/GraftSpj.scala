@@ -68,13 +68,16 @@ object GraftSpj {
       return Some(false)
     val inlineOk = snap.files.forall(f =>
       f.kind == "base" && f.schemaVersion == snap.schemaVersion)
-    if (!inlineOk || snap.manifests.exists(_.deltaFiles > 0)) return Some(false)
+    if (!inlineOk || snap.anyDeltas) return Some(false)
     if (snap.manifests.forall(m => m.numFiles == 0 ||
         (m.schemaVersionLo == snap.schemaVersion && m.schemaVersionHi == snap.schemaVersion)))
       Some(true)
     else if (snap.manifests.exists(m => m.numFiles > 0 && m.schemaVersionLo > 0 &&
-        m.schemaVersionHi != snap.schemaVersion))
-      Some(false) // provably holds an old-schema file
+        (m.schemaVersionLo != snap.schemaVersion || m.schemaVersionHi != snap.schemaVersion)))
+      // provably holds an old-schema file — lo below current counts too
+      // (post-evolution appends stamp lo=oldSv, hi=sv on every bucket;
+      // without this branch such tables would sweep on every scan build)
+      Some(false)
     else None // unknown-range refs: resolve by sweeping
   }
 

@@ -107,9 +107,11 @@ class AggPushSpec extends SparkSuite {
     assert(snap.manifests.nonEmpty && snap.files.isEmpty, "precondition: chunked")
     import org.apache.spark.sql.connector.expressions.aggregate._
     val countStar = new Aggregation(Array[AggregateFunc](new CountStar()), Array.empty)
+    val g0 = graft.cdc.lake.manifestReadsGlobal.get()
     val ans = graft.sql.GraftAgg.answerFromRefs(snap, countStar)
     assert(ans.exists(_._2.getLong(0) == 3000L), s"refs must answer count(*): $ans")
-    assert(fresh.manifestReads.get() == 0, "refs-only count must not open manifests")
+    assert(graft.cdc.lake.manifestReadsGlobal.get() == g0,
+      "refs-only count must not open manifests (any handle)")
     // min/max still needs the per-file stats -> refs path refuses
     val minAgg = new Aggregation(Array[AggregateFunc](
       new Min(org.apache.spark.sql.connector.expressions.Expressions.column("k"))), Array.empty)

@@ -252,12 +252,15 @@ class SpjSpec extends SparkSuite {
     import spark.implicits._
     table.append((0L until 2000L).map(i => (i, s"v$i")).toDF("k", "v"))
     // a FRESH handle proves eligibility from the refs' schema-version
-    // stamps alone — zero manifest reads at decision time
+    // stamps alone — zero manifest reads at decision time (global counter:
+    // any handle, including ones a future edit might open internally)
     val fresh = LakeTable.load(spark, table.root, "t")
     val snap = fresh.snapshot
     assert(snap.files.isEmpty && snap.manifests.nonEmpty, "precondition: chunked")
+    val g0 = graft.cdc.lake.manifestReadsGlobal.get()
     assert(graft.sql.GraftSpj.eligibleByRefs(spark, snap).contains(true))
-    assert(fresh.manifestReads.get() == 0, "refs-only proof must not open manifests")
+    assert(graft.cdc.lake.manifestReadsGlobal.get() == g0,
+      "refs-only proof must not open manifests")
     // pre-stamp (legacy) refs: unknown -> None, caller sweeps
     val legacy = snap.copy(manifests =
       snap.manifests.map(_.copy(schemaVersionLo = 0, schemaVersionHi = 0)))
@@ -270,6 +273,30 @@ class SpjSpec extends SparkSuite {
     val withDeltas = snap.copy(manifests =
       snap.manifests.updated(0, snap.manifests.head.copy(deltaFiles = 1)))
     assert(graft.sql.GraftSpj.eligibleByRefs(spark, withDeltas).contains(false))
+    // post-evolution appends stamp lo=oldSv, hi=sv: STILL provable (false)
+    // from refs — without it every scan build would sweep until compaction
+    val mixed = snap.copy(schemaVersion = snap.schemaVersion + 1,
+      schemas = snap.schemas + ((snap.schemaVersion + 1).toString -> snap.schema.json),
+      manifests = snap.manifests.map(m =>
+        m.copy(schemaVersionLo = snap.schemaVersion, schemaVersionHi = snap.schemaVersion + 1)))
+    assert(graft.sql.GraftSpj.eligibleByRefs(spark, mixed).contains(false))
+
+    // INTEGRATED pin through the catalog: count(*) reads ZERO manifests
+    // (refs-only aggregate) and a point lookup reads ONLY the pruned
+    // bucket's manifest — any future edit that eagerly sweeps (e.g.
+    // forcing allFiles before the refs proof) fails here
+    val cat = freshCatalog("mrd")
+    spark.sql(s"CREATE TABLE $cat.db.big (k BIGINT, v STRING) TBLPROPERTIES ('primary_key'='k','buckets'='128')")
+    spark.sql(s"INSERT INTO $cat.db.big SELECT id, concat('v', id) FROM range(0, 2000)")
+    val c0 = graft.cdc.lake.manifestReadsGlobal.get()
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.db.big").collect()(0).getLong(0) == 2000)
+    val c1 = graft.cdc.lake.manifestReadsGlobal.get()
+    assert(c1 == c0, s"count(*) must answer from refs, read ${c1 - c0} manifests")
+    assert(spark.sql(s"SELECT v FROM $cat.db.big WHERE k = 7").collect()
+      .map(_.getString(0)).toSeq == Seq("v7"))
+    val c2 = graft.cdc.lake.manifestReadsGlobal.get()
+    assert(c2 - c1 >= 1 && c2 - c1 <= 2,
+      s"point lookup must read only the pruned bucket's manifest, read ${c2 - c1} of 128")
   }
 
   test("catalog bucket functions match the write layout hash exactly") {
