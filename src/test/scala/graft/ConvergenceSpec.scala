@@ -137,6 +137,52 @@ class ConvergenceSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: random maintenance interleavings mid-replay never change the state") {
+    import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+    // every maintenance op is CONTRACTUALLY a logical no-op; this fuzzes
+    // arbitrary interleavings of them into a live replay (the shape a real
+    // operator produces: compactions and re-layouts racing the stream) and
+    // requires byte-exact convergence to the pure-replay oracle
+    val cfgGen = for {
+      n <- SGen.choose(2000L, 5000L)
+      keys <- SGen.choose(200L, 1200L)
+      del <- SGen.choose(0, 30)
+      epochs <- SGen.choose(2, 4)
+      ops <- SGen.listOfN(4, SGen.choose(0, 5)) // op slot after each epoch
+      mode <- SGen.oneOf(MergeMode.CoW, MergeMode.MoR)
+      cap <- SGen.oneOf(100L, 400L)
+    } yield (gen.GenConfig(n = n, nKeys = keys, deletePct = del, numPartitions = 4),
+      epochs, ops, mode, cap)
+    val prop = Prop.forAllNoShrink(cfgGen) { case (cfg, epochs, ops, mode, cap) =>
+      val table = LakeTable.createIfNotExists(spark, tmpDir("maintfuzz"), "t",
+        RepoRow.schemaV1, RepoRow.keyColumns, numBuckets = 4)
+      val engine = new ReplayEngine(table, SchemaRegistry.single(RepoRow.schemaV1), mode = mode)
+      val all = gen.changeEvents(spark, cfg)
+      val per = (cfg.n + epochs - 1) / epochs
+      (0 until epochs).foreach { e =>
+        engine.applyEpoch(all.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        ops(e) match {
+          case 1 => table.compact(); ()
+          case 2 => table.compactDeltas(); ()
+          case 3 => table.cluster(Seq("commit"), maxRowsPerFile = cap); ()
+          case 4 => table.rebucket(if (table.snapshot.numBuckets == 4) 16 else 4); ()
+          case 5 => table.vacuum(keepSnapshots = 1); ()
+          case _ => ()
+        }
+      }
+      if (mode == MergeMode.MoR) table.compactDeltas()
+      val got = table.read()
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("h"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+      val exp = gen.oracleFinalState(cfg)
+      got.size == exp.size && exp.forall { case (k, e) =>
+        got.get(k).contains(gen.sha256Hex(e.content))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: MIXED CoW/MoR epochs converge to the oracle (CoW merges fold outstanding deltas)") {
     import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
     val cfgGen = for {
