@@ -18,6 +18,37 @@ import graft.cdc.model._
   * correctness gate.
   */
 object cdcq {
+  /** Scratch roots for the oracle queries' temp lake tables, checkpoints and
+    * staged stream files. Prefers tmpfs (/dev/shm) for the same reason the
+    * bench harness keeps its own CDC I/O there (BENCH.md): the single-box
+    * root disk is a shared, non-scaling resource whose write/fsync latency
+    * would otherwise dominate these small tables' commit and state-store
+    * paths, while a real deployment's table roots sit on storage whose
+    * bandwidth scales with the cluster. Falls back to java.io.tmpdir when
+    * tmpfs is unavailable. Every dir created here is removed best-effort at
+    * JVM exit, so repeated runs don't accumulate in shared memory. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) {
+      val d = shm.resolve("graft-cdcq-scratch")
+      java.nio.file.Files.createDirectories(d)
+      d
+    } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      finally w.close()
+    }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(scratchBase, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(d) catch { case _: Throwable => () }))
+    d
+  }
+
   /** One GraftCatalog per (prefix, dataset dir), created on first use with a
     * temp warehouse and a `db` namespace; returns the catalog name. Shared
     * by every SQL-surface oracle query so catalog setup can't drift. */
@@ -26,11 +57,22 @@ object cdcq {
     if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
-        java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString)
+        scratchDir(s"graft-$prefix").toString)
     }
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
     cat
   }
+
+  /** Per-epoch event counts in ONE aggregate job over the (cached) changes.
+    * Passing these as `knownInputCount` lets every epoch take the fused
+    * dense-merge path (per-bucket stats ride the merge job as observed
+    * metrics) AND skips the per-epoch metrics count() scan — one Spark job
+    * per epoch instead of three (guide §1.2: remove unnecessary passes).
+    * Exact by construction: floor(lsn / per) == e iff e*per <= lsn <
+    * (e+1)*per, the identical range the epoch loop filters on. */
+  private def epochCounts(changes: DataFrame, per: Long): Map[Int, Long] =
+    changes.groupBy(floor(col("lsn") / per).cast("int").as("_e"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
 
   /** Map the events table to change events with the north-rule key shape. */
@@ -57,15 +99,17 @@ object cdcq {
   def replay(spark: SparkSession, dir: String): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq").toString
+    val root = scratchDir("graft-cdcq").toString
     val table = LakeTable.createIfNotExists(spark, root, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
     val epochs = 4
     val per = (maxLsn + epochs) / epochs // ceil so the last range covers maxLsn
+    val counts = epochCounts(changes, per)
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
     }
     changes.unpersist()
     table.read()
@@ -79,16 +123,18 @@ object cdcq {
   def replayMor(spark: SparkSession, dir: String): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-mor").toString
+    val root = scratchDir("graft-cdcq-mor").toString
     val table = LakeTable.createIfNotExists(spark, root, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema),
       mode = ingest.MergeMode.MoR)
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
     }
     changes.unpersist()
     table.compactDeltas()
@@ -108,17 +154,19 @@ object cdcq {
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-feed").toString
+    val root = scratchDir("graft-cdcq-feed").toString
     val table = LakeTable.createIfNotExists(spark, root, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema),
       mode = ingest.MergeMode.MoR)
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     var sinceVersion = -1L
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
       if (e == 1) sinceVersion = table.snapshot.version
     }
     changes.unpersist()
@@ -156,10 +204,12 @@ object cdcq {
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     var sinceVersion = -1L
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
       if (e == 1) sinceVersion = table.snapshot.version
     }
     changes.unpersist()
@@ -180,9 +230,9 @@ object cdcq {
   def changeFeedStream(spark: SparkSession, dir: String): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val upRoot = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-up").toString
-    val downRoot = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-dn").toString
-    val ck = java.nio.file.Files.createTempDirectory("graft-cdcq-cfs-ck").toString
+    val upRoot = scratchDir("graft-cdcq-cfs-up").toString
+    val downRoot = scratchDir("graft-cdcq-cfs-dn").toString
+    val ck = scratchDir("graft-cdcq-cfs-ck").toString
     val up = LakeTable.createIfNotExists(spark, upRoot, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val upEngine = new ReplayEngine(up, SchemaRegistry.single(tableSchema),
@@ -198,9 +248,11 @@ object cdcq {
     }
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     (0 until epochs).foreach { e =>
       upEngine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
       if (e == 1) drainFeed() // mid-replay drain: checkpoint holds a mid-log offset
     }
     changes.unpersist()
@@ -237,9 +289,11 @@ object cdcq {
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
       if (e == 1) {
         val before = table.snapshot
         require(table.filesOf(before).exists(_.kind == "delta"),
@@ -302,7 +356,7 @@ object cdcq {
       restartMidway: Boolean): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-stream")
+    val root = scratchDir("graft-cdcq-stream")
     val srcDir = root.resolve("tail")
     java.nio.file.Files.createDirectories(srcDir)
     val epochs = 4
@@ -336,10 +390,14 @@ object cdcq {
     def start(): org.apache.spark.sql.streaming.StreamingQuery = {
       val stream = streaming.changeStream(spark, srcDir.toString, changes.schema,
         maxFilesPerTrigger = Some(1))
+      // pacing: the trigger interval and TTL only bound how fast the drain
+      // CONVERGES (eviction fires on the first timeout tick after the
+      // watermark passes a key) — they carry no correctness weight, so keep
+      // the idle gaps short
       val deduped = streaming.statefulDedup(stream,
-        evictBelowLsn = Some(streaming.LsnWatermark.supplier(wmFile)), stateTtl = "1 second")
+        evictBelowLsn = Some(streaming.LsnWatermark.supplier(wmFile)), stateTtl = "400 milliseconds")
       streaming.replayStream(deduped, engine, root.resolve("ck").toString,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
         watermarkFile = Some(wmFile))
     }
     // snapshot-JSON-parse-free poll: the tiny _CURRENT pointer is read per
@@ -372,7 +430,7 @@ object cdcq {
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       val deadline = System.currentTimeMillis() + 240000
       while (q.isActive && (lsnHigh() < maxLsn || stateRows != 0) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(200)
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
       // surface the ROOT CAUSE if the query died (a swallowed foreachBatch /
       // state-store failure would otherwise read as a misleading drain
       // timeout four minutes later)
@@ -444,7 +502,7 @@ object cdcq {
       ColumnDef("value", DoubleType, qualityRule =
         Some(QualityRule(Criticality.Warn, minValue = Some(1.0)))))
     val gate = new quality.QualityGate(quality.Check.fromColumns(cols))
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-dq").toString
+    val root = scratchDir("graft-cdcq-dq").toString
     val table = LakeTable.createIfNotExists(spark, s"$root/t", "repo_files",
       schema, Seq("repo", "path"), numBuckets = 16)
     val audit = LakeTable.createIfNotExists(spark, s"$root/dq", quality.DataQualityChecks.tableName,
@@ -503,7 +561,7 @@ object cdcq {
       ColumnDef("event_type", StringType),
       ColumnDef("value", DoubleType)), numBuckets = 4)
     val gate = quality.QualityGate.forTable(td)
-    val root = java.nio.file.Files.createTempDirectory("graft-dq-uniq").toString
+    val root = scratchDir("graft-dq-uniq").toString
     val table = LakeTable.createIfNotExists(spark, s"$root/t", td.name,
       td.schema, td.primaryKey, numBuckets = td.numBuckets)
     val audit = LakeTable.createIfNotExists(spark, s"$root/dq", quality.DataQualityChecks.tableName,
@@ -526,15 +584,17 @@ object cdcq {
   def sqlOverLake(spark: SparkSession, dir: String): DataFrame = {
     val changes = asChanges(spark, dir).cache()
     val maxLsn = changes.agg(max("lsn")).collect()(0).getLong(0)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-sql").toString
+    val root = scratchDir("graft-cdcq-sql").toString
     val table = LakeTable.createIfNotExists(spark, root, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val engine = new ReplayEngine(table, SchemaRegistry.single(tableSchema))
     val epochs = 2
     val per = (maxLsn + epochs) / epochs
+    val counts = epochCounts(changes, per)
     (0 until epochs).foreach { e =>
       engine.applyEpoch(
-        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e)
+        changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per), e,
+        knownInputCount = Some(counts.getOrElse(e, 0L)))
     }
     changes.unpersist()
     table.createView("repo_files_v")
@@ -553,7 +613,7 @@ object cdcq {
     val runs = spark.read.parquet(s"$dir/events.parquet")
       .select(col("ts").as("period_end_time"), col("event_type").as("job_name"),
         when(col("value") >= 1.0, "SUCCEEDED").otherwise("FAILED").as("result_state"))
-    val root = java.nio.file.Files.createTempDirectory("graft-slo-t").toString
+    val root = scratchDir("graft-slo-t").toString
     val table = LakeTable.createIfNotExists(spark, root, "timeliness",
       TimelinessSlo.schema, TimelinessSlo.keyColumns, numBuckets = 4)
     TimelinessSlo.upsert(table, TimelinessSlo.derive(runs), epochId = 0)
@@ -570,7 +630,7 @@ object cdcq {
   def sloQuality(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.slo._
     val audit = dqReplayAudit(spark, dir).audit
-    val root = java.nio.file.Files.createTempDirectory("graft-slo-q").toString
+    val root = scratchDir("graft-slo-q").toString
     val table = LakeTable.createIfNotExists(spark, root, "quality",
       QualitySlo.schema, QualitySlo.keyColumns, numBuckets = 4)
     QualitySlo.upsert(table, QualitySlo.derive(audit.read()), epochId = 0)
@@ -591,7 +651,7 @@ object cdcq {
       // catalog name must be unique per (session, dir): catalog plugin
       // instances are cached by name with their warehouse at first load
       val cat = s"gmerge${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
+      val wh = scratchDir("graft-sqlmerge").toString
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -829,16 +889,23 @@ object cdcq {
       .cache()
 
     val v2Schema = StructType(tableSchema.fields :+ StructField("value_cents", LongType))
-    val root = java.nio.file.Files.createTempDirectory("graft-cdcq-ev").toString
+    val root = scratchDir("graft-cdcq-ev").toString
     val table = LakeTable.createIfNotExists(spark, root, "repo_files",
       tableSchema, Seq("repo", "path"), numBuckets = 16)
     val reg1 = SchemaRegistry.single(tableSchema)
     val engine1 = new ReplayEngine(table, reg1)
-    engine1.applyEpoch(changes.filter(col("lsn") < half).drop("value_cents", "value"), 0)
+    // both epoch counts in one aggregate over the cached batch (dense-path
+    // hint + metrics count, same rationale as epochCounts)
+    val cnts = changes.agg(
+      sum(when(col("lsn") < half, 1L).otherwise(0L)), count(lit(1))).head
+    val (c0, c1) = (cnts.getLong(0), cnts.getLong(1) - cnts.getLong(0))
+    engine1.applyEpoch(changes.filter(col("lsn") < half).drop("value_cents", "value"), 0,
+      knownInputCount = Some(c0))
     // additive evolution between epochs (the north rule's mid-stream case)
     table.evolveSchema(v2Schema)
     val engine2 = new ReplayEngine(table, table.snapshot.registry)
-    engine2.applyEpoch(changes.filter(col("lsn") >= half).drop("value"), 1)
+    engine2.applyEpoch(changes.filter(col("lsn") >= half).drop("value"), 1,
+      knownInputCount = Some(c1))
     changes.unpersist()
     table.read()
       .select(col("repo"), col("path"), col("commit_id"), col("lang"), col("value_cents"))
