@@ -417,8 +417,11 @@ object cdcq {
       try {
         val crashAt = 2 * per
         val deadline = System.currentTimeMillis() + 240000
+        // tight poll: the faster the epochs commit, the likelier a slow poll
+        // overshoots the crash point and leaves the resumed query nothing to
+        // replay (handled below by the eviction nudge, but aim first)
         while (q1.isActive && lsnHigh() < crashAt &&
-          System.currentTimeMillis() < deadline) Thread.sleep(50)
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
         q1.exception.foreach(e => throw e)
         assert(lsnHigh() >= crashAt,
           s"the first query must reach the crash point (lsnHigh ${lsnHigh()} < $crashAt)")
@@ -429,8 +432,38 @@ object cdcq {
       def stateRows: Long = Option(q.lastProgress)
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       val deadline = System.currentTimeMillis() + 240000
+      // Eviction liveness nudge: a RESTARTED query that finds nothing left to
+      // replay (the crash poll raced past the last epoch's commit) never runs
+      // a micro-batch — Spark only schedules no-data batches when a prior
+      // execution in the SAME run armed them — so restored dedup state's TTL
+      // timeouts are never processed and the state count sits above zero
+      // forever. If the table is fully drained but state remains for >2 s,
+      // stage ONE empty tail file: the file source schedules a batch for it,
+      // the batch carries zero events (the epoch apply short-circuits) and
+      // the armed timeouts fire, evicting the covered keys.
+      var nudged = false
+      var drainedAt = -1L
       while (q.isActive && (lsnHigh() < maxLsn || stateRows != 0) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50)
+        System.currentTimeMillis() < deadline) {
+        if (lsnHigh() >= maxLsn && stateRows != 0) {
+          val now = System.currentTimeMillis()
+          if (drainedAt < 0) drainedAt = now
+          else if (!nudged && now - drainedAt > 2000) {
+            nudged = true
+            val stage = root.resolve("stage-nudge")
+            changes.limit(0).coalesce(1).write.parquet(stage.toString)
+            val s = java.nio.file.Files.list(stage)
+            val part =
+              try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get
+              finally s.close()
+            val tgt = srcDir.resolve("ep999.parquet")
+            java.nio.file.Files.move(part, tgt)
+            java.nio.file.Files.setLastModifiedTime(tgt,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + 999 * 60000L))
+          }
+        }
+        Thread.sleep(50)
+      }
       // surface the ROOT CAUSE if the query died (a swallowed foreachBatch /
       // state-store failure would otherwise read as a misleading drain
       // timeout four minutes later)

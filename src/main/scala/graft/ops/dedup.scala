@@ -30,10 +30,19 @@ object dedup {
       .orderBy(col("doc_id"))
 
   /** Raw word-trigram shingles per document (duplicates kept — consumers
-    * dedup via set aggregation or duplicate-insensitive min). */
+    * dedup via set aggregation or duplicate-insensitive min).
+    *
+    * The words array is materialized in its OWN projection before the
+    * higher-order transform: an array expression referenced inside an HOF
+    * lambda is re-evaluated on every lambda invocation (HOFs run as
+    * interpreted CodegenFallback, no subexpression elimination), so the
+    * previous inline `split` re-split the text ~3x per shingle — the
+    * dominant CPU of the whole inverted-index build. As an attribute it is
+    * computed once per row. */
   private def rawShingles(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = col("ws")
     docs(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(ws) - 2), i =>
           concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))).as("s"))
@@ -104,11 +113,23 @@ object dedup {
     * oracle-checkable. xxhash64 would be cheaper per byte at scale and is a
     * drop-in swap; the asymptotics are identical. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 16, bandRows: Int = 4): DataFrame = {
-    // distinct (shingle, doc) pairs straight from the shared inverted index
-    // (no df cut here — minhash sketches the FULL shingle set)
-    val sh = shinglePosts(spark, dir).select(col("s"), explode(col("ds")).as("doc_id"))
-    val mhAggs = (0 until k).map(c =>
-      min(substring(sha2(concat(lit(s"${c / 4}:"), col("s")), 256), 1 + 16 * (c % 4), 16)).as(s"mh$c"))
+    // The k components are computed per POSTING ROW (one per (lang, shingle))
+    // BEFORE the posting list explodes to (shingle, doc) pairs: the sha256
+    // digests depend only on the shingle, so hashing after the explode would
+    // repeat each digest once per posting-list member (and relying on
+    // aggregate-level subexpression elimination to fold the 4 digests out of
+    // 16 min() update expressions is planner-dependent — a projection
+    // guarantees it). min() is duplicate-insensitive, so the values reaching
+    // the per-doc aggregation are unchanged. (No df cut here — minhash
+    // sketches the FULL shingle set.)
+    val digests = (0 until k / 4).map(g =>
+      sha2(concat(lit(s"$g:"), col("s")), 256).as(s"_h$g"))
+    val comps = (0 until k).map(c =>
+      substring(col(s"_h${c / 4}"), 1 + 16 * (c % 4), 16).as(s"_c$c"))
+    val sh = shinglePosts(spark, dir)
+      .select((col("ds") +: digests): _*)
+      .select((comps :+ explode(col("ds")).as("doc_id")): _*)
+    val mhAggs = (0 until k).map(c => min(col(s"_c$c")).as(s"mh$c"))
     val mh = sh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
     val nBands = k / bandRows
     val bands = mh.select(col("doc_id"), explode(array((0 until nBands).map { b =>
@@ -142,14 +163,19 @@ object dedup {
     * non-oracle-checkable drop-in at scale). */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val bits = 60
+    // group to (doc, word, count) FIRST so sha256 runs once per DISTINCT
+    // word of each doc, not once per occurrence; votes then weigh by the
+    // occurrence count. Integer sums are order- and grouping-insensitive,
+    // so the per-(doc, bit) totals are exactly the per-occurrence ones.
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .select(col("doc_id"),
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
         conv(substring(sha2(col("w"), 256), 1, 15), 16, 10).cast("long").as("h"))
-    // per-bit vote: +1 if bit set else -1, summed per doc
+    // per-bit vote: +cnt if bit set else -cnt, summed per doc
     val voteAggs = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$b"))
     val votes = tok.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
     val fp = (0 until bits).map(b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ bitwiseOR _)
