@@ -450,6 +450,53 @@ object lake {
         (inlineCarried, cur.manifests.filterNot(m => affected(m.bucket)) ++ newRefs)
       }
 
+    /** Per-source Hadoop options for every data-file read/write of this
+      * table: the `file:` scheme resolves to RawLocalFileSystem instead of
+      * the default ChecksumFileSystem wrapper. Hadoop's client-side `.crc`
+      * sidecars DOUBLE the small-file operations of every commit (one
+      * sidecar written, chmod'd and renamed per data file — and with no
+      * native Hadoop lib in this environment each permission call forks a
+      * `chmod` shell) and add one extra open+read per scanned file. Parquet
+      * already CRC-checks its own pages (PageHeader crc, enabled by
+      * default), so the sidecar is a redundant integrity layer on the data
+      * path. Scoped per-read/per-write via options — the session's global
+      * FileSystem (used by checkpoints, external inputs) is untouched, and
+      * on cluster deployments where table roots live on object stores the
+      * `fs.file.impl` key is simply inert. */
+    private val rawLocalFsOptions = Map(
+      "fs.file.impl" -> "org.apache.hadoop.fs.RawLocalFileSystem",
+      "fs.file.impl.disable.cache" -> "true")
+
+    /** Run one engine ACTION (merge/compact/delta job) with a scan-split
+      * floor of the cluster's parallelism: a merge's map side reads the
+      * touched buckets' base files, and the default split packing
+      * (`maxPartitionBytes` + `openCostInBytes`) happily folds MANY bucket
+      * files into ONE task when they are small — serializing per-file reader
+      * setup on a single core while the rest idle. `minPartitionNum` is
+      * Spark's own floor for exactly this; deriving it from
+      * `defaultParallelism` keeps it scale-adaptive (at production file
+      * sizes the floor is already met and the conf is inert). Session-conf
+      * scoped to the action and restored — engine actions are
+      * single-threaded per table (commit is synchronized). */
+    private def withScanParallelism[T](f: => T): T = {
+      // AQE is also disabled for the engine's own jobs: the merge/compact
+      // plan shape is statically known (ONE hash shuffle on the key columns,
+      // reduce side = the bucketed write) — adaptive re-planning only adds a
+      // per-shuffle materialization round and its coalescing would fold the
+      // bucket-aligned reduce partitions (the CDC bench harness pins the
+      // same thing for the same reason). Both confs restored after the job.
+      val confs = Seq(
+        "spark.sql.files.minPartitionNum" -> spark.sparkContext.defaultParallelism.toString,
+        "spark.sql.adaptive.enabled" -> "false")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
     // ---- read path ---------------------------------------------------------
 
     /** Bucket assignment: hash of the full merge key, so a hot repo spreads
@@ -568,7 +615,7 @@ object lake {
           val paths = group.map(f => Paths.get(root, f.path).toString)
           val fileSchema = snap.schemaOf(sv)
           val physical = if (hasLsn) StructType(lsnField +: fileSchema.fields) else fileSchema
-          val df = spark.read.schema(physical).parquet(paths: _*)
+          val df = spark.read.options(rawLocalFsOptions).schema(physical).parquet(paths: _*)
           val lsnCol = if (hasLsn) col("_lsn") else lit(-1L).as("_lsn")
           df.select((lsnCol +: conformedPayload(snap, fileSchema)).toSeq: _*)
         }.reduce(_ unionByName _)
@@ -588,7 +635,7 @@ object lake {
           val paths = group.map(f => Paths.get(root, f.path).toString)
           val fileSchema = snap.schemaOf(sv)
           val physical = StructType(metaFields ++ fileSchema.fields)
-          val df = spark.read.schema(physical).parquet(paths: _*)
+          val df = spark.read.options(rawLocalFsOptions).schema(physical).parquet(paths: _*)
           df.select((Seq(col("lsn"), col("op")) ++ conformedPayload(snap, fileSchema)).toSeq: _*)
         }.reduce(_ unionByName _)
       }
@@ -658,9 +705,10 @@ object lake {
       val laidOut =
         if (effSort.isEmpty) laidOut0
         else laidOut0.sortWithinPartitions((col("_b") +: effSort.map(col)).toSeq: _*)
-      val writer = effCap.foldLeft(laidOut.write)(
+      val writer = effCap.foldLeft(laidOut.write.options(rawLocalFsOptions))(
         (w, n) => w.option("maxRecordsPerFile", n.toString))
-      timed("write:parquet")(writer.partitionBy("_b").parquet(outDir.toString))
+      timed("write:parquet")(withScanParallelism(
+        writer.partitionBy("_b").parquet(outDir.toString)))
       val paths = timed("write:list")(listParquet(outDir))
       // footer reads are driver-side; parallelize so commit latency stays
       // O(files / threads), not O(files)
@@ -716,6 +764,7 @@ object lake {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       val conf = spark.sessionState.newHadoopConf()
+      rawLocalFsOptions.foreach { case (k, v) => conf.set(k, v) } // skip the .crc side-read
       val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
       val r = ParquetFileReader.open(in)
       try (r.getRecordCount,

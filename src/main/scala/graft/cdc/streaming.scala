@@ -179,6 +179,30 @@ object streaming {
   def replayStream(events: DataFrame, engine: ReplayEngine, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       watermarkFile: Option[String] = None): StreamingQuery = {
+    // Spark 4.1's checkpoint checksum sidecars write+rename one extra file
+    // per state/offset/commit file per batch — on the exactly-once path the
+    // checkpoint's atomic-rename protocol is already the integrity fence,
+    // and the engine's own epoch fence makes a torn redelivery a no-op, so
+    // the sidecars only double the per-batch metadata ops (each one a
+    // create+chmod+rename on stores with no native Hadoop lib). Scoped to
+    // THIS query: the session value is captured by the query at start() and
+    // restored right after (set -Dgraft.stream.checkpointChecksum=1 to keep
+    // Spark's sidecars).
+    val spark = events.sparkSession
+    val csKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    if (System.getProperty("graft.stream.checkpointChecksum", "0") == "1")
+      return startReplayStream(events, engine, checkpointDir, trigger, watermarkFile)
+    val csPrev = spark.conf.getOption(csKey) // Some(default) for registered confs
+    spark.conf.set(csKey, "false")
+    try startReplayStream(events, engine, checkpointDir, trigger, watermarkFile)
+    finally csPrev match {
+      case Some(v) => spark.conf.set(csKey, v)
+      case None => spark.conf.unset(csKey)
+    }
+  }
+
+  private def startReplayStream(events: DataFrame, engine: ReplayEngine, checkpointDir: String,
+      trigger: Trigger, watermarkFile: Option[String]): StreamingQuery = {
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Detach the micro-batch's SQL execution id for the engine's own

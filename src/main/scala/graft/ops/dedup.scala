@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object dedup {
 
+  // spread: the corpus arrives as one small parquet file (1-2 scan splits);
+  // without it every sha256-heavy shingling projection below runs in ONE
+  // task (guide §2.5 unsplittable-input skew). No-op at scale — see opsutil.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    opsutil.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Exact dedup by normalized-content hash: one representative (min doc_id)
     * per normalized sha256 group. */

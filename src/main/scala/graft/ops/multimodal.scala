@@ -35,7 +35,7 @@ object multimodal {
   /** Build a binary media table from the documents corpus (text bytes stand
     * in for encoded media; the column TYPE and flow are what matters). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    opsutil.spread(spark.read.parquet(s"$dir/documents.parquet"))
       .select(
         col("doc_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, "image")
@@ -104,8 +104,10 @@ object multimodal {
     * exactly the generated geometry and luma. */
   def syntheticImages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).filter(pmod(col("doc_id"), lit(3)) === 0)
+    // spread BEFORE the per-row BMP encode/decode: the doc_id scan is 1-2
+    // splits, and ImageIO work in one task serializes the whole corpus
+    opsutil.spread(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).filter(pmod(col("doc_id"), lit(3)) === 0))
       .as[Long].mapPartitions { it =>
         it.map { id =>
           val w = 8 + (id % 16).toInt

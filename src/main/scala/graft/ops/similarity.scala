@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object similarity {
 
+  // spread: one small parquet file = 1-2 scan splits; the per-vector dot
+  // products / signatures would otherwise run near-single-threaded
+  // (guide §2.5). No-op at scale — see opsutil.
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    opsutil.spread(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Dot product over two array<double> columns (zip_with + left fold from
     * 0.0). Kept in the compact HOF form deliberately: unrolling to 64

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object text {
 
+  // spread: one small parquet file = 1-2 scan splits; the regex/sha
+  // projections would otherwise run near-single-threaded (guide §2.5).
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    opsutil.spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   /** Whitespace token count (replace arithmetic — exact parity with SQL). */
   def wsTokens(c: Column): Column =

@@ -49,7 +49,15 @@ object Bridge {
         // InternalRow; the vectorized decoder still runs underneath
         options = Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
-        hadoopConf = cs.sessionState.newHadoopConf())
+        hadoopConf = {
+          // lake data files on the local scheme: bypass the Checksum wrapper
+          // (no `.crc` side-read per file; parquet's own page CRCs remain —
+          // same rationale as LakeTable's rawLocalFsOptions)
+          val c = cs.sessionState.newHadoopConf()
+          c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+          c.set("fs.file.impl.disable.cache", "true")
+          c
+        })
   }
 
   def partitionedFile(absPath: String, bytes: Long)
