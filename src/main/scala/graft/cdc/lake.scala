@@ -682,8 +682,14 @@ object lake {
       val bucketed = df.withColumn("_b", bucketExpr(snap))
         .select((cols :+ col("_b")).toSeq: _*)
       // merge output is already hash-partitioned on the key columns, which
-      // determines the bucket — skip the extra shuffle in that case
-      val laidOut0 = if (repartitionByBucket) bucketed.repartition(col("_b")) else bucketed
+      // determines the bucket — skip the extra shuffle in that case.
+      // When we DO repartition, pin the partition count to numBuckets: there
+      // are only numBuckets distinct _b values, so session-default shuffle
+      // partitions beyond that are guaranteed-empty tasks (pure scheduling
+      // overhead on small appends; at scale the bucket count IS the write's
+      // natural parallelism ceiling either way).
+      val laidOut0 =
+        if (repartitionByBucket) bucketed.repartition(snap.numBuckets, col("_b")) else bucketed
       // cluster-on-write: explicit args (the cluster() op) win; otherwise
       // BASE writes honor the table's `graft.cluster.by` policy so the
       // layout persists across merges/compactions instead of decaying.

@@ -188,16 +188,25 @@ object streaming {
     // THIS query: the session value is captured by the query at start() and
     // restored right after (set -Dgraft.stream.checkpointChecksum=1 to keep
     // Spark's sidecars).
+    // Same layer one level down: the checkpoint managers write through
+    // Hadoop's FileContext, whose local binding (`LocalFs`) is a ChecksumFs
+    // — every state delta / offset / commit file gets a `.crc` sidecar and
+    // (without the native lib) a forked `chmod` per created file, serialized
+    // under global locks. RawLocalFs keeps the SAME atomic-rename semantics
+    // (plain POSIX rename) without the sidecar layer; on real deployments
+    // checkpoints live on HDFS/object stores where this key is inert.
     val spark = events.sparkSession
-    val csKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val confs = Seq(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "fs.AbstractFileSystem.file.impl" -> "org.apache.hadoop.fs.local.RawLocalFs")
     if (System.getProperty("graft.stream.checkpointChecksum", "0") == "1")
       return startReplayStream(events, engine, checkpointDir, trigger, watermarkFile)
-    val csPrev = spark.conf.getOption(csKey) // Some(default) for registered confs
-    spark.conf.set(csKey, "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try startReplayStream(events, engine, checkpointDir, trigger, watermarkFile)
-    finally csPrev match {
-      case Some(v) => spark.conf.set(csKey, v)
-      case None => spark.conf.unset(csKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -361,22 +361,31 @@ object cdcq {
     java.nio.file.Files.createDirectories(srcDir)
     val epochs = 4
     val per = (maxLsn + epochs) / epochs
+    // Stage the whole tail in ONE Spark job (guide §1.2: fewer passes): the
+    // fresh rows tagged with their own epoch, unioned with the redeliveries
+    // — every 7th event of the PREVIOUS epoch arrives again (the
+    // at-least-once tail the stateful dedup exists for) tagged with the
+    // NEXT epoch's file — written partitioned by epoch (one file each via
+    // the epoch-aligned repartition), then moved into the tail dir. The
+    // previous shape ran one coalesce(1) job per epoch.
+    val stage = root.resolve("stage")
+    val tagged = changes.withColumn("_ep", floor(col("lsn") / per))
+      .filter(col("_ep") < epochs)
+    val redelivered = tagged.filter(pmod(col("lsn"), lit(7)) === 0 && col("_ep") < epochs - 1)
+      .withColumn("_ep", col("_ep") + 1)
+    tagged.unionByName(redelivered)
+      .repartition(epochs, col("_ep"))
+      .write.partitionBy("_ep").parquet(stage.toString)
     (0 until epochs).foreach { e =>
-      val fresh = changes.filter(col("lsn") >= e * per && col("lsn") < (e + 1) * per)
-      // every 7th event of the PREVIOUS epoch arrives again — the
-      // at-least-once tail the stateful dedup exists for
-      val redelivered =
-        if (e == 0) fresh.limit(0)
-        else changes.filter(col("lsn") >= (e - 1) * per && col("lsn") < e * per &&
-          pmod(col("lsn"), lit(7)) === 0)
-      val stage = root.resolve(s"stage$e")
-      fresh.unionByName(redelivered).coalesce(1).write.parquet(stage.toString)
-      val s = java.nio.file.Files.list(stage)
-      val part =
-        try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      val dir = stage.resolve(s"_ep=$e")
+      val s = java.nio.file.Files.list(dir)
+      val parts =
+        try s.filter(p => p.toString.endsWith(".parquet"))
+          .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
         finally s.close()
+      require(parts.size == 1, s"epoch $e staged ${parts.size} files (want 1)")
       val tgt = srcDir.resolve(f"ep$e%03d.parquet")
-      java.nio.file.Files.move(part, tgt)
+      java.nio.file.Files.move(parts.get(0), tgt)
       // pin mtimes so the file source schedules the tail in binlog order
       // (statefulDedup makes the result order-insensitive; the pinned order
       // keeps the exercised path the intended one)
