@@ -119,11 +119,17 @@ final class GraftChangesSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val sinceV = start.map(changefeed.parseVersion).getOrElse(startVersion)
     val endV = changefeed.parseVersion(end)
-    val batch =
-      if (endV <= sinceV) { // first trigger on an idle table: empty range
-        val t = table
-        t.changesSince(endV, Some(endV)).limit(0)
-      } else table.changesSince(sinceV, Some(endV))
+    if (endV <= sinceV) {
+      // empty range (first trigger on an idle table / restart replaying an
+      // empty batch): answer from the PINNED schema without touching the
+      // snapshot log — building a real changesSince plan here could throw
+      // the vacuumed-snapshot error for a batch that needs no data, and
+      // costs a snapshot parse + manifest set-difference per idle trigger
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return org.apache.spark.sql.graftbridge.Bridge.streamingFrame(empty)
+    }
+    val batch = table.changesSince(sinceV, Some(endV))
     // conform to the PINNED schema: the declared source schema cannot change
     // mid-stream, so a batch whose feed schema diverged must either project
     // away additive columns (safe) or fail (type change / dropped column)

@@ -485,9 +485,15 @@ object lake {
       // per-shuffle materialization round and its coalescing would fold the
       // bucket-aligned reduce partitions (the CDC bench harness pins the
       // same thing for the same reason). Both confs restored after the job.
-      val confs = Seq(
-        "spark.sql.files.minPartitionNum" -> spark.sparkContext.defaultParallelism.toString,
-        "spark.sql.adaptive.enabled" -> "false")
+      val confs =
+        (if (System.getProperty("graft.engine.minPartitionNum", "1") == "1")
+          Seq("spark.sql.files.minPartitionNum" ->
+            spark.sparkContext.defaultParallelism.toString)
+        else Nil) ++
+        (if (System.getProperty("graft.engine.noAqe", "1") == "1")
+          Seq("spark.sql.adaptive.enabled" -> "false")
+        else Nil)
+      if (confs.isEmpty) return f
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try f
@@ -1399,8 +1405,12 @@ object lake {
               case GreaterThanOrEqual("lsn", x) => v(x).forall(l => f.lsnMax >= l)
               case LessThan("lsn", x) => v(x).forall(l => f.lsnMin < l)
               case LessThanOrEqual("lsn", x) => v(x).forall(l => f.lsnMin <= l)
+              // keep the file when a NON-NULL value fails the Number
+              // extraction (conservative, like every other branch's
+              // v(x).forall); prune only when every value is provably out
+              // of range or null
               case In("lsn", xs) if xs != null && xs.nonEmpty =>
-                xs.flatMap(v).exists(l => f.lsnMin <= l && l <= f.lsnMax)
+                xs.exists(x => x != null && v(x).forall(l => f.lsnMin <= l && l <= f.lsnMax))
               case And(l, r) => lsnRangeOk(f, l) && lsnRangeOk(f, r)
               case Or(l, r) => lsnRangeOk(f, l) || lsnRangeOk(f, r)
               case _ => true

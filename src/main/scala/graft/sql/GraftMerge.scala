@@ -349,8 +349,17 @@ object GraftMergeRewrite extends Rule[LogicalPlan] {
       case Seq(u) if isUpdateAll(u, tgtCols) => Some((None, None))
       case Seq(DeleteAction(c), u) if isUpdateAll(u, tgtCols) =>
         Some((Some(c.getOrElse(Bridge.expression(lit(true)))), None))
-      case Seq(u, DeleteAction(c)) if isUpdateAll(u, tgtCols) =>
-        Some((Some(c.getOrElse(Bridge.expression(lit(false)))), None))
+      // Only the UNCONDITIONAL trailing DELETE is special-cased: with an
+      // unconditional update-all first, first-match means the DELETE leg is
+      // dead code (every matched row updates), so the delete condition is
+      // false. A CONDITIONAL trailing delete after a conditional update-all
+      // must route through the general first-match fold below — lowering
+      // its condition live here would delete rows the first leg claims.
+      // (Spark's parser rejects a non-last UNconditional matched leg, so
+      // the u-unconditional + c-conditional shape cannot parse — this arm
+      // now encodes that invariant instead of silently relying on it.)
+      case Seq(u, DeleteAction(None)) if isUpdateAll(u, tgtCols) =>
+        Some((Some(Bridge.expression(lit(false))), None))
       case Seq(UpdateStarAction(Some(c))) => sourceAll(c).map(p => (None, Some(p)))
       case Seq(UpdateAction(cond, assigns, _)) =>
         partial(assigns, cond).map(p => (None, Some(p)))
