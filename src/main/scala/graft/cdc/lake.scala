@@ -478,13 +478,19 @@ object lake {
       * sizes the floor is already met and the conf is inert). Session-conf
       * scoped to the action and restored — engine actions are
       * single-threaded per table (commit is synchronized). */
-    private def withScanParallelism[T](f: => T): T = {
+    private def withScanParallelism[T](numBuckets: Int)(f: => T): T = {
       // AQE is also disabled for the engine's own jobs: the merge/compact
       // plan shape is statically known (ONE hash shuffle on the key columns,
       // reduce side = the bucketed write) — adaptive re-planning only adds a
       // per-shuffle materialization round and its coalescing would fold the
       // bucket-aligned reduce partitions (the CDC bench harness pins the
-      // same thing for the same reason). Both confs restored after the job.
+      // same thing for the same reason). The shuffle width is likewise
+      // pinned to the BUCKET COUNT — the engine's reduce side writes one
+      // bucket-aligned group per partition, so bucket count IS the job's
+      // natural width (the harness pins its replay sessions identically,
+      // and at production bucket counts the pin RAISES width to the
+      // layout's parallelism rather than lowering it). All confs restored
+      // after the job.
       val confs =
         (if (System.getProperty("graft.engine.minPartitionNum", "1") == "1")
           Seq("spark.sql.files.minPartitionNum" ->
@@ -492,6 +498,9 @@ object lake {
         else Nil) ++
         (if (System.getProperty("graft.engine.noAqe", "1") == "1")
           Seq("spark.sql.adaptive.enabled" -> "false")
+        else Nil) ++
+        (if (System.getProperty("graft.engine.bucketShuffle", "1") == "1")
+          Seq("spark.sql.shuffle.partitions" -> math.max(1, numBuckets).toString)
         else Nil)
       if (confs.isEmpty) return f
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -719,7 +728,7 @@ object lake {
         else laidOut0.sortWithinPartitions((col("_b") +: effSort.map(col)).toSeq: _*)
       val writer = effCap.foldLeft(laidOut.write.options(rawLocalFsOptions))(
         (w, n) => w.option("maxRecordsPerFile", n.toString))
-      timed("write:parquet")(withScanParallelism(
+      timed("write:parquet")(withScanParallelism(snap.numBuckets)(
         writer.partitionBy("_b").parquet(outDir.toString)))
       val paths = timed("write:list")(listParquet(outDir))
       // footer reads are driver-side; parallelize so commit latency stays
