@@ -821,7 +821,12 @@ object lake {
       * Observation on the sparse path would drag every observed column into
       * the narrow (keys, lsn, op) pre-pass scan. */
     def willFuseStats(snap: Snapshot, assumeFullTouch: Boolean): Boolean =
-      assumeFullTouch && snap.numBuckets <= 64 &&
+      // threshold 32 (was 64): the observed-metric expression set is 4 x
+      // numBuckets, and at 64 buckets the 256-expression analysis+codegen
+      // per epoch measurably costs MORE than the one narrow stats pre-pass
+      // it replaces (A/B on the 64-bucket rebucket replay); at <= 32 the
+      // fusion still wins (one job per epoch, gate/checksum piggyback)
+      assumeFullTouch && snap.numBuckets <= 32 &&
         System.getProperty("graft.merge.fuseStats", "1") == "1"
 
     /** Fold removed delta files' lsn range into the snapshot-level
